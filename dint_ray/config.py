@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+Mirrors the reference's compile-time constants
+(/root/reference/include/dint/dint_configuration.hpp:6-29,
+ /root/reference/include/util.hpp:33-35) as a runtime dataclass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Reserved codewords (dint_configuration.hpp:6 `#define EXCEPTIONS 2`;
+# single_dictionary.hpp:22 `reserved = EXCEPTIONS + 5`):
+#   0 -> 2-byte exception escape
+#   1 -> 4-byte exception escape
+#   2..6 -> runs of 256, 128, 64, 32, 16 zeros
+EXCEPTIONS = 2
+RESERVED = EXCEPTIONS + 5
+RUN_LENGTHS = (256, 128, 64, 32, 16)  # codewords 2..6 in order
+
+INVALID_INDEX = 0xFFFFFFFF
+U32_INVALID = 0xFFFFFFFF  # "unknown sum_of_values" sentinel
+
+
+@dataclass(frozen=True)
+class DintConfig:
+    """DINT dictionary/codec parameters (dint_configuration.hpp:20-28)."""
+
+    block_size: int = 256           # util.hpp:35 constants::block_size
+    max_entry_size: int = 16        # dint_configuration.hpp:23
+    num_entries: int = 65536        # dictionary capacity, 2^16
+    log2_num_entries: int = 16      # codeword width b (bits)
+    target_sizes: tuple[int, ...] = (16, 8, 4, 2, 1)
+    num_selectors: int = 6          # multi-dict contexts
+    # dictionary_builders.hpp:15-25: eps=1e-4, DSF filter uses eps/1000
+    dsf_filter_threshold: float = 1e-4 / 1000
+    # util.hpp:33-34
+    min_list_size: int = 0
+    max_list_size: int = 50_000_000
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    """Distributed build knobs (sized for 32-CPU local; scale notes inline)."""
+
+    # Postings shuffle: salt terms with df > salt_df_threshold into
+    # doc_id-range buckets of salt_bucket_docs docs each (SURVEY.md §7.3).
+    # Low threshold on purpose so fixtures exercise the salted path.
+    salt_df_threshold: int = 4096
+    salt_bucket_docs: int = 4096
+    # encode stage actor pool
+    encode_batch_size: int = 64
+    encode_concurrency: int = 8
+    tokenize_batch_size: int = 1024
+    tokenize_concurrency: int = 8
+
+
+DEFAULT = DintConfig()

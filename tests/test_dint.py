@@ -1,0 +1,195 @@
+"""DINT dictionary + codec tests (reference tier-1/2 for the novel part).
+
+Fixture recipes follow FIXTURES.md F5: zero-run-rich blocks (runs of
+15/16/17/31/64/255/256 -> run codewords + DP run edges,
+dint_codecs.hpp:166-182) and exception-rich blocks (values >= 65536 ->
+4-byte escapes, dint_codecs.hpp:199-207).
+"""
+
+import numpy as np
+import pytest
+
+from dint_ray.config import INVALID_INDEX, RESERVED
+from dint_ray.dint import codec as dc
+from dint_ray.dint.dictionary import (
+    LookupTable,
+    build_packed_multi,
+    build_packed_single,
+    load,
+    save_multi,
+    save_single,
+)
+from dint_ray.util import hash_pattern, window_hashes
+
+RNG = np.random.default_rng(42)
+
+
+def _mk_targets():
+    """A plausible DSF output: some 16/8/4/2/1-grams."""
+    targets = []
+    targets.append(np.zeros(8, dtype=np.uint32))
+    targets.append(np.array([1] * 16, dtype=np.uint32))
+    targets.append(np.array([0, 1, 0, 1], dtype=np.uint32))
+    targets.append(np.array([2, 3], dtype=np.uint32))
+    for v in [0, 1, 2, 3, 5, 7, 100, 1000]:
+        targets.append(np.array([v], dtype=np.uint32))
+    targets.append(np.array([0, 1], dtype=np.uint32))       # prefix of [0,1,0,1]
+    targets.append(np.array([4, 4, 4, 4], dtype=np.uint32))
+    return targets
+
+
+@pytest.fixture(scope="module")
+def single_dict():
+    return build_packed_single(_mk_targets())
+
+
+@pytest.fixture(scope="module")
+def multi_dict():
+    per = []
+    for s in range(6):
+        ts = _mk_targets()
+        if s % 2:
+            ts.append(np.array([s, s, s, s, s, s, s, s], dtype=np.uint32))
+        per.append(ts)
+    return build_packed_multi(per)
+
+
+def test_window_hashes_match_scalar():
+    buf = RNG.integers(0, 50, 64).astype(np.uint32)
+    for s in (1, 2, 4, 8, 16):
+        hs = window_hashes(buf, s)
+        for i in (0, 5, len(buf) - s):
+            assert hs[i] == hash_pattern(buf[i : i + s])
+
+
+def test_lookup_table_last_wins():
+    lut = LookupTable.from_pairs([(10, 1), (20, 2), (10, 3)])
+    assert lut.lookup(10) == 3
+    assert lut.lookup(20) == 2
+    assert lut.lookup(99) == INVALID_INDEX
+
+
+def test_reserved_layout(single_dict):
+    d = single_dict
+    # codewords 2..6: zero runs 256..16 (single_dictionary.hpp:39-56)
+    assert list(d.lengths[2:7]) == [256, 128, 64, 32, 16]
+    assert (d.entries16[2:7] == 0).all()
+    # appended entries begin at codeword 7
+    assert d.size >= RESERVED + len(_mk_targets()) - 0
+
+
+def test_prefix_compaction(single_dict):
+    d = single_dict
+    # [0,1] was appended after [0,1,0,1]; the packed table should not
+    # store it separately: its entry content must still decode as [0,1]
+    for i in range(RESERVED, d.size):
+        e = d.entry(i)
+        ln = int(d.lengths[i])
+        assert len(e) == ln
+
+
+def _roundtrip_block(buf, d, encode, decode):
+    blob = encode(buf)
+    arr = np.frombuffer(blob + b"\x55" * 8, dtype=np.uint8)
+    out, off = decode(arr, 0, int(buf.sum()), len(buf))
+    np.testing.assert_array_equal(out, buf)
+    assert off == len(blob)
+
+
+BLOCKS = []
+# random small gaps (dict hits + exceptions)
+BLOCKS.append(RNG.integers(0, 8, 256).astype(np.uint32))
+# zero-run rich
+b = np.zeros(256, dtype=np.uint32)
+b[0] = 5
+b[200] = 9
+BLOCKS.append(b)
+b2 = np.zeros(256, dtype=np.uint32)
+for pos, ln in [(0, 15), (20, 17), (60, 31), (100, 64)]:
+    b2[pos + ln] = 3
+BLOCKS.append(b2)
+# exception rich (values >= 65536 -> 4-byte escapes)
+b3 = RNG.integers(0, 4, 256).astype(np.uint32)
+b3[[7, 50, 130]] = [70000, 65536, 2**31 + 17]
+b3[[8, 9]] = [65535, 12345]
+BLOCKS.append(b3)
+# all zeros (single 256-run codeword)
+BLOCKS.append(np.zeros(256, dtype=np.uint32))
+
+
+@pytest.mark.parametrize("blk", range(len(BLOCKS)))
+def test_single_opt_roundtrip(single_dict, blk):
+    buf = BLOCKS[blk]
+    _roundtrip_block(
+        buf,
+        single_dict,
+        lambda x: dc.encode_block_opt(x, single_dict),
+        lambda a, o, s, n: dc.decode_single(a, o, s, n, single_dict),
+    )
+
+
+@pytest.mark.parametrize("blk", range(len(BLOCKS)))
+def test_single_greedy_roundtrip(single_dict, blk):
+    buf = BLOCKS[blk]
+    _roundtrip_block(
+        buf,
+        single_dict,
+        lambda x: dc.encode_block_greedy(x, single_dict),
+        lambda a, o, s, n: dc.decode_single(a, o, s, n, single_dict),
+    )
+
+
+@pytest.mark.parametrize("blk", range(len(BLOCKS)))
+def test_multi_roundtrip(multi_dict, blk):
+    buf = BLOCKS[blk]
+    _roundtrip_block(
+        buf,
+        multi_dict,
+        lambda x: dc.encode_block_multi(x, multi_dict),
+        lambda a, o, s, n: dc.decode_multi(a, o, s, n, multi_dict),
+    )
+
+
+def test_all_zero_block_is_one_codeword(single_dict):
+    blob = dc.encode_block_opt(np.zeros(256, dtype=np.uint32), single_dict)
+    assert len(blob) == 2  # one 16-bit run-256 codeword
+    assert blob == (2).to_bytes(2, "little")
+
+
+def test_opt_never_larger_than_greedy(single_dict):
+    for buf in BLOCKS:
+        opt = dc.encode_block_opt(buf, single_dict)
+        greedy = dc.encode_block_greedy(buf, single_dict)
+        assert len(opt) <= len(greedy)
+
+
+def test_multi_never_larger_than_single_plus_control(single_dict, multi_dict):
+    # multi picks the best of 12 encodings; with identical dict content
+    # it costs at most single + 1 control byte
+    for buf in BLOCKS:
+        single = dc.encode_block_opt(buf, single_dict)
+        multi = dc.encode_block_multi(buf, multi_dict)
+        assert len(multi) <= len(single) + 1
+
+
+def test_partial_block_uses_interpolative(single_dict):
+    buf = RNG.integers(0, 100, 100).astype(np.uint32)
+    blob = dc.encode_single(buf, int(buf.sum()), single_dict)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    out, off = dc.decode_single(arr, 0, int(buf.sum()), 100, single_dict)
+    np.testing.assert_array_equal(out, buf)
+
+
+def test_dict_artifact_roundtrip(tmp_path, single_dict, multi_dict):
+    p1 = str(tmp_path / "single.npz")
+    save_single(p1, single_dict)
+    d2 = load(p1)
+    np.testing.assert_array_equal(d2.offsets, single_dict.offsets)
+    np.testing.assert_array_equal(d2.table, single_dict.table)
+    buf = BLOCKS[0]
+    assert dc.encode_block_opt(buf, d2) == dc.encode_block_opt(buf, single_dict)
+
+    p2 = str(tmp_path / "multi.npz")
+    save_multi(p2, multi_dict)
+    m2 = load(p2)
+    assert dc.encode_block_multi(buf, m2) == dc.encode_block_multi(buf, multi_dict)
