@@ -1,0 +1,81 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1/F4).
+
+Generates, with fixed seeds and no external data:
+- a Common-Crawl-style Parquet pages table with the BASELINE.json
+  input_hint schema (url, warc_ts, html, text, lang);
+- a query log of term-id lists mirroring the reference's 500-query
+  format (/root/reference/test/test_data/queries: 1-8 ids per line).
+
+Text is drawn from a Zipf-ish distribution over a `t{k}` vocabulary so
+posting lists have the head/tail skew the reference's corpora have.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_TS = np.datetime64("2024-01-01T00:00:00", "us")
+
+
+def generate_pages(num_docs: int, vocab_size: int = 2000, seed: int = 42,
+                   zipf_s: float = 1.07, mean_len: float = 120.0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # Zipf-ish rank probabilities
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = ranks ** (-zipf_s)
+    probs /= probs.sum()
+    # doc lengths ~ lognormal clipped to [8, 2048]
+    lens = np.clip(
+        rng.lognormal(mean=np.log(mean_len), sigma=0.6, size=num_docs), 8, 2048
+    ).astype(np.int64)
+    vocab = np.array([f"t{k}" for k in range(vocab_size)])
+    urls, htmls, texts, langs = [], [], [], []
+    ts = np.empty(num_docs, dtype="datetime64[us]")
+    for i in range(num_docs):
+        toks = vocab[rng.choice(vocab_size, size=lens[i], p=probs)]
+        text = " ".join(toks)
+        urls.append(f"https://host{i % 97}.example/p/{i}")
+        texts.append(text)
+        htmls.append(b"<html><body>" + text.encode() + b"</body></html>")
+        langs.append("en" if rng.random() > 0.02 else "xx")
+        ts[i] = BASE_TS + np.timedelta64(i, "s")
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        # docID = rank of url in deterministic generation order (FIXTURES.md F1)
+        "doc_id": pa.array(np.arange(num_docs, dtype=np.uint64), pa.uint64()),
+    })
+
+
+def generate_queries(num_queries: int, num_terms: int, seed: int = 7) -> list[list[int]]:
+    """1-8 term ids per query, mixing head and tail terms; duplicates
+    allowed (dedup is part of the query operator contract,
+    /root/reference/include/ds2i/queries.hpp:29-32)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num_queries):
+        k = int(rng.integers(1, 9))
+        head = rng.integers(0, max(2, num_terms // 20), size=(k + 1) // 2)
+        tail = rng.integers(0, num_terms, size=k // 2)
+        q = np.concatenate([head, tail])[:k]
+        out.append([int(x) for x in q])
+    return out
+
+
+def pages_fixture_path(num_docs: int, vocab_size: int = 2000, seed: int = 42,
+                       root: str = "/tmp/dint_ray_fixtures") -> str:
+    """Materialize (once) and return the path of a pages parquet file."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"pages_n{num_docs}_v{vocab_size}_s{seed}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(generate_pages(num_docs, vocab_size, seed), tmp)
+        os.replace(tmp, path)
+    return path

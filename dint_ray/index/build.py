@@ -1,0 +1,118 @@
+"""Index build: single-process oracle + the distributed Ray pipeline.
+
+Mirrors the create_freq_index lifecycle
+(/root/reference/src/create_freq_index.cpp:54-110, SURVEY.md §3.1):
+
+1. postings (term_id -> sorted docs + freqs)
+2. build_model: gap-pattern stats (docs d-gaps, freqs-1) -> DSF
+   dictionary per stream (cached/checkpointed)
+3. per-list DINT encode -> payload bytes (+ per-term max BM25 weight,
+   fused — SURVEY.md §2.7 A5)
+4. shard layout + manifest (the freeze equivalent)
+
+The oracle builder below is the conformance baseline: the distributed
+pipeline must produce byte-identical payloads per term (SURVEY.md §5
+tier 5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from dint_ray.config import DintConfig
+from dint_ray.dint import stats as st
+from dint_ray.dint.codec import MultiDintCodec, SingleDintCodec
+from dint_ray.dint.dictionary import (
+    MultiPackedDict,
+    PackedDict,
+    build_packed_multi,
+    build_packed_single,
+)
+from dint_ray.index.layout import write_posting_list
+from dint_ray.index.shards import InvertedIndex
+from dint_ray.scoring import WandData, max_weight_of_list
+
+
+@dataclass
+class BuiltDicts:
+    kind: str                       # "single_packed" | "multi_packed"
+    docs_dict: PackedDict | MultiPackedDict
+    freqs_dict: PackedDict | MultiPackedDict
+
+    def codecs(self):
+        if self.kind == "single_packed":
+            return SingleDintCodec(self.docs_dict), SingleDintCodec(self.freqs_dict)
+        return MultiDintCodec(self.docs_dict), MultiDintCodec(self.freqs_dict)
+
+
+def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
+                     kind: str = "single_packed",
+                     cfg: DintConfig = DintConfig()) -> BuiltDicts:
+    """Stats + DSF + compaction over in-memory postings (oracle path)."""
+    doc_bufs = (st.docs_gap_buffer(d) for d, _ in postings.values())
+    freq_bufs = (st.freqs_gap_buffer(f) for _, f in postings.values())
+    if kind == "single_packed":
+        dc, dtot = st.collect_single(doc_bufs)
+        fc, ftot = st.collect_single(freq_bufs)
+        docs_dict = build_packed_single(st.select_targets(dc, dtot, cfg), cfg)
+        freqs_dict = build_packed_single(st.select_targets(fc, ftot, cfg), cfg)
+    elif kind == "multi_packed":
+        dms, dtot = st.collect_multi(doc_bufs, cfg.num_selectors)
+        fms, ftot = st.collect_multi(freq_bufs, cfg.num_selectors)
+        docs_dict = build_packed_multi(st.select_targets_multi(dms, dtot, cfg), cfg)
+        freqs_dict = build_packed_multi(st.select_targets_multi(fms, ftot, cfg), cfg)
+    else:
+        raise ValueError(f"unknown dict kind {kind!r}")
+    return BuiltDicts(kind=kind, docs_dict=docs_dict, freqs_dict=freqs_dict)
+
+
+@dataclass
+class LocalIndex:
+    index: InvertedIndex
+    wand: WandData
+    dicts: BuiltDicts
+    sizes: np.ndarray
+
+    def stats_bits_per_int(self) -> dict[str, float]:
+        """bits/int over payload bytes (header+maxs+endpoints included),
+        comparable to the reference README table shape."""
+        total_postings = sum(self.index.size(t) for t in self.index.payloads)
+        total_bits = 8 * sum(len(p) for p in self.index.payloads.values())
+        return {
+            "postings": total_postings,
+            "bits_per_posting_pair": total_bits / max(total_postings, 1),
+        }
+
+
+def build_index_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
+                      sizes: np.ndarray, num_docs: int,
+                      kind: str = "single_packed",
+                      cfg: DintConfig = DintConfig(),
+                      dicts: BuiltDicts | None = None) -> LocalIndex:
+    if dicts is None:
+        dicts = mine_dicts_local(postings, kind, cfg)
+    docs_codec, freqs_codec = dicts.codecs()
+    avg = np.float32(float(np.asarray(sizes, dtype=np.float64).sum()) / num_docs)
+    norm_lens = (np.asarray(sizes, dtype=np.float32) / avg).astype(np.float32)
+    payloads: dict[int, bytes] = {}
+    max_w = np.zeros(max(postings) + 1 if postings else 0, dtype=np.float32)
+    for tid in sorted(postings):
+        docs, freqs = postings[tid]
+        payloads[tid] = write_posting_list(docs, freqs, docs_codec, freqs_codec)
+        max_w[tid] = max_weight_of_list(docs, freqs, norm_lens)
+    index = InvertedIndex(num_docs, payloads, docs_codec, freqs_codec)
+    wand = WandData(norm_lens, max_w)
+    return LocalIndex(index=index, wand=wand, dicts=dicts, sizes=sizes)
+
+
+def verify_index(index: InvertedIndex,
+                 postings: dict[int, tuple[np.ndarray, np.ndarray]]) -> None:
+    """--check equivalent (verify_collection.hpp:7-53): replay every
+    posting of the input against the index."""
+    for tid, (docs, freqs) in postings.items():
+        dd, ff = index.decode(tid)
+        if not (np.array_equal(dd, docs.astype(dd.dtype)) and
+                np.array_equal(ff, freqs.astype(ff.dtype))):
+            raise AssertionError(f"index mismatch at term {tid}")

@@ -1,0 +1,118 @@
+"""In-memory index over encoded posting-list payloads + shard storage.
+
+The reference freezes one flat memory image and mmaps it
+(/root/reference/include/dint/dict_freq_index.hpp:96-100,174-181); our
+equivalent is hash-partitioned Parquet shards
+
+    shard-{i}.parquet : term_id:uint32, df:uint32, max_weight:float32,
+                        payload:binary       (in-shard sorted by term_id)
+
+plus a JSON manifest (num_docs, avg doc length, dictionary artifact,
+per-shard lineage: rows, bytes, wall time).  Query actors load their
+shard set once per worker (ST4 in SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from dint_ray.index.layout import DocumentEnumerator, PostingListView
+
+
+class InvertedIndex:
+    """term_id -> posting payload bytes; decode on demand with caching."""
+
+    def __init__(self, num_docs: int, payloads: dict[int, bytes],
+                 docs_codec, freqs_codec) -> None:
+        self.num_docs = num_docs
+        self.payloads = payloads
+        self.docs_codec = docs_codec
+        self.freqs_codec = freqs_codec
+        self._views: dict[int, PostingListView] = {}
+
+    def __contains__(self, term_id: int) -> bool:
+        return term_id in self.payloads
+
+    def view(self, term_id: int) -> PostingListView:
+        v = self._views.get(term_id)
+        if v is None:
+            v = PostingListView(self.payloads[term_id], self.docs_codec, self.freqs_codec)
+            self._views[term_id] = v
+        return v
+
+    def enumerator(self, term_id: int) -> DocumentEnumerator:
+        return DocumentEnumerator(self.view(term_id), self.num_docs)
+
+    def size(self, term_id: int) -> int:
+        return self.view(term_id).n
+
+    def decode(self, term_id: int):
+        return self.view(term_id).decode_all()
+
+
+def write_shard(path: str, rows: list[tuple[int, int, float, bytes]]) -> dict:
+    """rows: (term_id, df, max_weight, payload), any order; written
+    sorted by term_id, atomically (temp + rename)."""
+    t0 = time.time()
+    rows = sorted(rows, key=lambda r: r[0])
+    table = pa.table({
+        "term_id": pa.array([r[0] for r in rows], pa.uint32()),
+        "df": pa.array([r[1] for r in rows], pa.uint32()),
+        "max_weight": pa.array([r[2] for r in rows], pa.float32()),
+        "payload": pa.array([r[3] for r in rows], pa.binary()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return {
+        "path": os.path.basename(path),
+        "rows": len(rows),
+        "bytes": int(table.nbytes),
+        "wall_sec": round(time.time() - t0, 4),
+    }
+
+
+def load_shards(index_dir: str, docs_codec, freqs_codec,
+                shard_ids: list[int] | None = None):
+    """Load (a subset of) shards -> (InvertedIndex, max_weight dict,
+    manifest)."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    payloads: dict[int, bytes] = {}
+    max_w: dict[int, float] = {}
+    for i, shard in enumerate(manifest["shards"]):
+        if shard_ids is not None and i not in shard_ids:
+            continue
+        t = pq.read_table(os.path.join(index_dir, shard["path"]))
+        tids = t.column("term_id").to_numpy()
+        mws = t.column("max_weight").to_numpy()
+        pls = t.column("payload").to_pylist()
+        for tid, mw, pl in zip(tids, mws, pls):
+            payloads[int(tid)] = pl
+            max_w[int(tid)] = float(mw)
+    idx = InvertedIndex(manifest["num_docs"], payloads, docs_codec, freqs_codec)
+    return idx, max_w, manifest
+
+
+def write_manifest(index_dir: str, *, num_docs: int, num_terms: int,
+                   avg_doc_len: float, dict_kind: str, shards: list[dict],
+                   extra: dict | None = None) -> None:
+    m = {
+        "num_docs": num_docs,
+        "num_terms": num_terms,
+        "avg_doc_len": avg_doc_len,
+        "dict_kind": dict_kind,
+        "shards": shards,
+    }
+    if extra:
+        m.update(extra)
+    tmp = os.path.join(index_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))

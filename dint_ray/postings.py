@@ -1,0 +1,231 @@
+"""Posting-list construction: the dominant wide step.
+
+The reference assumes this was done upstream by ds2i preprocessing
+(/root/reference/README.md:39-55); here it is a first-class Ray Data
+pipeline (SURVEY.md §7.3):
+
+    pages -> map_batches(Tokenizer actor pool)       (doc_id, term, tf)
+          -> per-batch partial df counts -> groupby(term) -> vocabulary
+          -> broadcast vocab (ray.put), assign term_id + salt bucket
+          -> groupby(term_id, bucket) -> sorted per-bucket runs
+          -> groupby(term_id) -> ordered merge of runs -> posting lists
+
+Skew handling (north_rule "explicit skew-aware salting of head
+terms"): a term with df > salt_df_threshold is split into doc_id-range
+buckets of salt_bucket_docs docs, so no single groupby task receives
+an entire head-term list; buckets are disjoint ordered doc ranges, so
+the merge is a concatenation, not a re-sort.
+
+Vocabulary key (deterministic, SURVEY.md §7.3): term_id = rank by
+(df desc, term asc).  This fixes docID/termID equality between the
+distributed pipeline and the single-process oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dint_ray.config import BuildConfig
+from dint_ray.tokenize import Tokenizer, tokens
+
+
+@dataclass
+class Vocabulary:
+    terms: pd.DataFrame  # columns: term, df, term_id (sorted by term_id)
+
+    @property
+    def size(self) -> int:
+        return len(self.terms)
+
+    def to_id_map(self) -> dict[str, int]:
+        return dict(zip(self.terms["term"], self.terms["term_id"]))
+
+    def df_array(self) -> np.ndarray:
+        return self.terms["df"].to_numpy()
+
+
+def make_vocabulary(term_df: pd.DataFrame) -> Vocabulary:
+    """term_df: columns (term, df) -> add dense term_id by (df desc, term asc)."""
+    t = term_df.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+    t = t.reset_index(drop=True)
+    t["term_id"] = np.arange(len(t), dtype=np.uint32)
+    return Vocabulary(terms=t)
+
+
+# --------------------------------------------------------------------------
+# Ray pipeline
+# --------------------------------------------------------------------------
+
+def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = False):
+    """pages Dataset -> (doc_id, term, tf) rows Dataset (actor pool)."""
+    return pages_ds.map_batches(
+        Tokenizer,
+        fn_constructor_kwargs={"from_html": from_html},
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch_size,
+        concurrency=cfg.tokenize_concurrency,
+        num_cpus=1,
+    )
+
+
+def _partial_df(batch: pa.Table) -> pa.Table:
+    """Map-side combine for the df count (one row per term per batch)."""
+    g = batch.group_by("term").aggregate([("doc_id", "count")])
+    return g.rename_columns(["term", "df_part"])
+
+
+def build_vocabulary(rows_ds) -> Vocabulary:
+    """groupby(term) shuffle over per-batch partials -> driver vocabulary.
+
+    Scale note: the shuffle input is <= one row per (term, batch) — the
+    partial-aggregation pattern from SURVEY.md §2.7 A1.  The final
+    vocabulary (term, df, term_id) is small enough to broadcast; at
+    10^12-doc scale this would instead stay a Dataset and term_ids
+    would be joined back via a hash-partitioned join on `term`.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = rows_ds.map_batches(_partial_df, batch_format="pyarrow")
+    agg = partial.groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    pdf = agg.to_pandas()
+    pdf["df"] = pdf["df"].astype(np.int64)
+    return make_vocabulary(pdf[["term", "df"]])
+
+
+class AssignTermId:
+    """Broadcast-lookup stage: term string -> (term_id, salt bucket).
+
+    The vocabulary is shipped once per actor via a ray.put object ref
+    (broadcast join on the small side, no shuffle — SURVEY.md §2.6 J3).
+    """
+
+    def __init__(self, vocab_ref, salt_df_threshold: int, salt_bucket_docs: int) -> None:
+        import ray
+
+        vocab: Vocabulary = ray.get(vocab_ref)
+        self.id_map = vocab.to_id_map()
+        dfs = vocab.df_array()
+        self.salted = {tid for tid, df in zip(vocab.terms["term_id"], dfs)
+                       if df > salt_df_threshold}
+        self.bucket_docs = salt_bucket_docs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        tids = np.fromiter((self.id_map[t] for t in terms), dtype=np.uint32,
+                           count=len(terms))
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if self.salted:
+            salt_mask = np.isin(tids, np.fromiter(self.salted, dtype=np.uint32))
+            buckets = np.where(salt_mask, doc_ids // self.bucket_docs, 0).astype(np.uint32)
+        else:
+            buckets = np.zeros(len(tids), dtype=np.uint32)
+        return pa.table({
+            "term_id": pa.array(tids, pa.uint32()),
+            "bucket": pa.array(buckets, pa.uint32()),
+            "doc_id": pa.array(doc_ids.astype(np.uint64), pa.uint64()),
+            "tf": batch.column("tf"),
+        })
+
+
+def _bucket_lists(group: pa.Table) -> pa.Table:
+    """One (term_id, bucket) group -> one row with sorted doc/freq lists."""
+    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = group.column("tf").to_numpy(zero_copy_only=False)
+    order = np.argsort(doc, kind="stable")
+    return pa.table({
+        "term_id": group.column("term_id").slice(0, 1),
+        "bucket": group.column("bucket").slice(0, 1),
+        "docs": pa.array([doc[order].astype(np.uint32)], pa.list_(pa.uint32())),
+        "freqs": pa.array([tf[order].astype(np.uint32)], pa.list_(pa.uint32())),
+    })
+
+
+def _merge_buckets(group: pa.Table) -> pa.Table:
+    """One term_id group of bucket runs -> final posting list row.
+
+    Buckets are disjoint ascending doc_id ranges, so ordered
+    concatenation preserves the sorted-docID invariant (§2.8 O4)."""
+    buckets = group.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind="stable")
+    docs_col = group.column("docs")
+    freqs_col = group.column("freqs")
+    docs = np.concatenate([np.asarray(docs_col[int(i)].as_py(), dtype=np.uint32) for i in order])
+    freqs = np.concatenate([np.asarray(freqs_col[int(i)].as_py(), dtype=np.uint32) for i in order])
+    return pa.table({
+        "term_id": group.column("term_id").slice(0, 1),
+        "docs": pa.array([docs], pa.list_(pa.uint32())),
+        "freqs": pa.array([freqs], pa.list_(pa.uint32())),
+    })
+
+
+def build_posting_lists(rows_ds, vocab: Vocabulary,
+                        cfg: BuildConfig = BuildConfig()):
+    """(doc_id, term, tf) rows -> (term_id, docs, freqs) Dataset."""
+    import ray
+
+    vocab_ref = ray.put(vocab)
+    keyed = rows_ds.map_batches(
+        AssignTermId,
+        fn_constructor_kwargs={
+            "vocab_ref": vocab_ref,
+            "salt_df_threshold": cfg.salt_df_threshold,
+            "salt_bucket_docs": cfg.salt_bucket_docs,
+        },
+        batch_format="pyarrow",
+        concurrency=cfg.tokenize_concurrency,
+        num_cpus=1,
+    )
+    runs = keyed.groupby(["term_id", "bucket"]).map_groups(
+        _bucket_lists, batch_format="pyarrow"
+    )
+    return runs.groupby("term_id").map_groups(_merge_buckets, batch_format="pyarrow")
+
+
+def doc_sizes(rows_ds):
+    """(doc_id, len) Dataset; len = sum of tfs = token count."""
+    from ray.data.aggregate import Sum
+
+    return rows_ds.groupby("doc_id").aggregate(Sum("tf", alias_name="len"))
+
+
+# --------------------------------------------------------------------------
+# single-process oracle (trivially correct; used by tests & conformance)
+# --------------------------------------------------------------------------
+
+def oracle_postings(pages: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Returns (postings dict term_id -> (docs, freqs), Vocabulary,
+    sizes ndarray, num_docs) computed in one process."""
+    from collections import Counter
+
+    texts = pages.column(text_col).to_pylist()
+    ids = pages.column(id_col).to_numpy(zero_copy_only=False)
+    num_docs = len(texts)
+    df_counter: Counter = Counter()
+    per_doc: list[Counter] = []
+    sizes = np.zeros(int(ids.max()) + 1 if num_docs else 0, dtype=np.uint32)
+    for doc_id, text in zip(ids, texts):
+        c = Counter(tokens(text))
+        per_doc.append(c)
+        sizes[doc_id] = sum(c.values())
+        df_counter.update(c.keys())
+    vocab = make_vocabulary(pd.DataFrame(
+        {"term": list(df_counter.keys()), "df": list(df_counter.values())}
+    ))
+    id_map = vocab.to_id_map()
+    lists: dict[int, tuple[list, list]] = {}
+    for doc_id, c in zip(ids, per_doc):
+        for term, tf in c.items():
+            lists.setdefault(id_map[term], ([], []))
+            lists[id_map[term]][0].append(int(doc_id))
+            lists[id_map[term]][1].append(int(tf))
+    out = {}
+    for tid, (ds, fs) in lists.items():
+        order = np.argsort(ds, kind="stable")
+        out[tid] = (np.asarray(ds, dtype=np.uint32)[order],
+                    np.asarray(fs, dtype=np.uint32)[order])
+    return out, vocab, sizes, num_docs

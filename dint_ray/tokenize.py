@@ -1,0 +1,95 @@
+"""Text extraction + tokenization.
+
+The reference consumes an already-tokenized collection
+(/root/reference/README.md:39-55); this stage recreates the implied
+upstream ds2i preprocessing over Common-Crawl-style pages
+(BASELINE.json input_hint).  The per-row invariant is *byte-identical
+extracted text per url* between the distributed pipeline and the
+single-process oracle — both call these exact functions.
+
+Tokenizer contract (kept deliberately regex-simple so DuckDB can
+express the identical tokenization in oracle SQL):
+    tokens(text) = re.findall('[a-z0-9]+', text.lower())
+which matches DuckDB's  regexp_extract_all(lower(text), '[a-z0-9]+').
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+_TAG = re.compile(rb"<[^>]*>")
+_TOKEN = re.compile(r"[a-z0-9]+")
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic tag-stripping extraction (fixture htmls are simple
+    well-formed markup; anything between tags is kept verbatim)."""
+    return _TAG.sub(b"", html).decode("utf-8")
+
+
+def tokens(text: str) -> list[str]:
+    return _TOKEN.findall(text.lower())
+
+
+class Tokenizer:
+    """Actor-pool stage: pages batch -> flattened (doc_id, term, tf) rows.
+
+    Stateful-stage shape per the north_star: compiled regexes live in
+    __init__ (once per actor), __call__ is per batch.  Zero-copy Arrow
+    in; Arrow out.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 from_html: bool = False) -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        self.from_html = from_html
+        self.token_re = re.compile(r"[a-z0-9]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        if self.from_html:
+            texts = [extract_text(h) for h in batch.column("html").to_pylist()]
+        else:
+            texts = batch.column(self.text_col).to_pylist()
+        out_ids: list[np.ndarray] = []
+        out_terms: list[str] = []
+        out_tfs: list[np.ndarray] = []
+        findall = self.token_re.findall
+        for doc_id, text in zip(ids, texts):
+            c = Counter(findall(text.lower()))
+            if not c:
+                continue
+            out_terms.extend(c.keys())
+            out_tfs.append(np.fromiter(c.values(), dtype=np.uint32, count=len(c)))
+            out_ids.append(np.full(len(c), doc_id, dtype=np.uint64))
+        if not out_ids:
+            return pa.table({
+                "doc_id": pa.array([], pa.uint64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.uint32()),
+            })
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids), pa.uint64()),
+            "term": pa.array(out_terms, pa.string()),
+            "tf": pa.array(np.concatenate(out_tfs), pa.uint32()),
+        })
+
+
+def doc_lengths_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, len) per row; len = token count (the `.sizes` equivalent,
+    /root/reference/src/create_wand_data.cpp:22)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    lens = np.fromiter(
+        (len(_TOKEN.findall(t.lower())) for t in texts), dtype=np.uint32, count=len(texts)
+    )
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.uint64), pa.uint64()),
+        "len": pa.array(lens, pa.uint32()),
+    })
