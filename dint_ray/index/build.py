@@ -103,7 +103,7 @@ def build_index_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
         payloads[tid] = write_posting_list(docs, freqs, docs_codec, freqs_codec)
         max_w[tid] = max_weight_of_list(docs, freqs, norm_lens)
     index = InvertedIndex(num_docs, payloads, docs_codec, freqs_codec)
-    wand = WandData(norm_lens, max_w)
+    wand = WandData(norm_lens, max_w, sizes=sizes)
     return LocalIndex(index=index, wand=wand, dicts=dicts, sizes=sizes)
 
 

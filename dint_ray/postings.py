@@ -67,7 +67,7 @@ def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = 
         fn_constructor_kwargs={"from_html": from_html},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=cfg.tokenize_concurrency,
+        concurrency=(1, cfg.tokenize_concurrency),
         num_cpus=1,
     )
 
@@ -176,7 +176,7 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
             "salt_bucket_docs": cfg.salt_bucket_docs,
         },
         batch_format="pyarrow",
-        concurrency=cfg.tokenize_concurrency,
+        concurrency=(1, cfg.tokenize_concurrency),
         num_cpus=1,
     )
     runs = keyed.groupby(["term_id", "bucket"]).map_groups(

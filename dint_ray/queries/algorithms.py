@@ -105,41 +105,50 @@ class _ScoredEnum:
         self.max_weight = max_weight
 
 
-def _scored_enums(index, wdata: WandData, terms, with_bounds=False):
+def _scored_enums(index, wdata: WandData, terms, with_bounds=False, dtype=np.float32):
     enums = []
     for term, qf in query_freqs(terms):
         if term not in index:
             continue
         en = index.enumerator(term)
-        qw = query_term_weight(qf, en.size, index.num_docs)
-        mw = np.float32(qw * wdata.max_term_weight[term]) if with_bounds else 0.0
+        qw = query_term_weight(qf, en.size, index.num_docs, dtype)
+        if with_bounds:
+            if dtype is np.float32:
+                mw = np.float32(qw * wdata.max_term_weight[term])
+            else:
+                # recompute the term bound in f64 so it stays an upper bound
+                docs, freqs = index.decode(term)
+                mw = dtype(qw * doc_term_weight(freqs, wdata.norms(dtype)[docs], dtype).max())
+        else:
+            mw = dtype(0.0)
         enums.append(_ScoredEnum(term, en, qw, mw))
     return enums
 
 
-def _sum_f32_term_order(contribs: list[tuple[int, np.float32]]) -> np.float32:
-    s = np.float32(0.0)
+def _sum_term_order(contribs, dtype=np.float32):
+    s = dtype(0.0)
     for _, c in sorted(contribs, key=lambda x: x[0]):
-        s = np.float32(s + c)
+        s = dtype(s + c)
     return s
 
 
-def ranked_or(index, wdata: WandData, terms: list[int], k: int = 10):
+def ranked_or(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     """Exhaustive BM25 union — the oracle for the pruned algorithms."""
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms)
+    enums = _scored_enums(index, wdata, terms, dtype=dtype)
     if not enums:
         return []
     num_docs = index.num_docs
+    norms = wdata.norms(dtype)
     cur = min(se.enum.docid() for se in enums)
     while cur < num_docs:
-        score = np.float32(0.0)
-        norm_len = wdata.norm_lens[cur]
+        score = dtype(0.0)
+        norm_len = norms[cur]
         nxt = num_docs
         for se in enums:  # ascending term order by construction
             if se.enum.docid() == cur:
-                w = np.float32(se.q_weight * doc_term_weight(se.enum.freq(), norm_len))
-                score = np.float32(score + w)
+                w = dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))
+                score = dtype(score + w)
                 se.enum.next()
             if se.enum.docid() < nxt:
                 nxt = se.enum.docid()
@@ -148,11 +157,11 @@ def ranked_or(index, wdata: WandData, terms: list[int], k: int = 10):
     return topk.finalize()
 
 
-def ranked_or_fast(index, wdata: WandData, terms: list[int], k: int = 10):
+def ranked_or_fast(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     """Dense vectorized ranked-OR: float32-identical to ranked_or
     (same per-doc accumulation order: ascending term_id)."""
     num_docs = index.num_docs
-    scores = np.zeros(num_docs, dtype=np.float32)
+    scores = np.zeros(num_docs, dtype=dtype)
     touched = np.zeros(num_docs, dtype=bool)
     any_term = False
     for term, qf in query_freqs(terms):
@@ -160,9 +169,9 @@ def ranked_or_fast(index, wdata: WandData, terms: list[int], k: int = 10):
             continue
         any_term = True
         docs, freqs = index.decode(term)
-        qw = query_term_weight(qf, index.size(term), num_docs)
-        w = np.float32(qw) * doc_term_weight(freqs, wdata.norm_lens[docs])
-        scores[docs] += w.astype(np.float32)
+        qw = query_term_weight(qf, index.size(term), num_docs, dtype)
+        w = dtype(qw) * doc_term_weight(freqs, wdata.norms(dtype)[docs], dtype)
+        scores[docs] += w.astype(dtype)
         touched[docs] = True
     if not any_term:
         return []
@@ -180,9 +189,9 @@ def ranked_or_fast(index, wdata: WandData, terms: list[int], k: int = 10):
     return [(int(cand[i]), float(sub[i])) for i in order]
 
 
-def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10):
+def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms)
+    enums = _scored_enums(index, wdata, terms, dtype=dtype)
     if not enums:
         return []
     enums_sz = sorted(enums, key=lambda se: se.enum.size)
@@ -198,32 +207,32 @@ def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10):
                 break
             i += 1
         else:
-            norm_len = wdata.norm_lens[candidate]
+            norm_len = wdata.norms(dtype)[candidate]
             contribs = [
-                (se.term, np.float32(se.q_weight * doc_term_weight(se.enum.freq(), norm_len)))
+                (se.term, dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype)))
                 for se in enums_sz
             ]
-            topk.insert(float(_sum_f32_term_order(contribs)), candidate)
+            topk.insert(float(_sum_term_order(contribs, dtype)), candidate)
             enums_sz[0].enum.next()
             candidate = enums_sz[0].enum.docid()
             i = 1
     return topk.finalize()
 
 
-def wand(index, wdata: WandData, terms: list[int], k: int = 10):
+def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms, with_bounds=True)
+    enums = _scored_enums(index, wdata, terms, with_bounds=True, dtype=dtype)
     if not enums:
         return []
     num_docs = index.num_docs
     ordered = sorted(enums, key=lambda se: se.enum.docid())
     while True:
-        upper_bound = np.float32(0.0)
+        upper_bound = dtype(0.0)
         pivot = None
         for idx, se in enumerate(ordered):
             if se.enum.docid() >= num_docs:
                 break
-            upper_bound = np.float32(upper_bound + se.max_weight)
+            upper_bound = dtype(upper_bound + se.max_weight)
             if topk.would_enter(float(upper_bound)):
                 pivot = idx
                 break
@@ -231,15 +240,15 @@ def wand(index, wdata: WandData, terms: list[int], k: int = 10):
             break
         pivot_id = ordered[pivot].enum.docid()
         if pivot_id == ordered[0].enum.docid():
-            norm_len = wdata.norm_lens[pivot_id]
+            norm_len = wdata.norms(dtype)[pivot_id]
             contribs = []
             for se in ordered:
                 if se.enum.docid() != pivot_id:
                     break
-                contribs.append((se.term, np.float32(
-                    se.q_weight * doc_term_weight(se.enum.freq(), norm_len))))
+                contribs.append((se.term, dtype(
+                    se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))))
                 se.enum.next()
-            topk.insert(float(_sum_f32_term_order(contribs)), pivot_id)
+            topk.insert(float(_sum_term_order(contribs, dtype)), pivot_id)
             ordered.sort(key=lambda se: se.enum.docid())
         else:
             nxt = pivot
@@ -253,43 +262,44 @@ def wand(index, wdata: WandData, terms: list[int], k: int = 10):
     return topk.finalize()
 
 
-def maxscore(index, wdata: WandData, terms: list[int], k: int = 10):
+def maxscore(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms, with_bounds=True)
+    enums = _scored_enums(index, wdata, terms, with_bounds=True, dtype=dtype)
     if not enums:
         return []
     num_docs = index.num_docs
     ordered = sorted(enums, key=lambda se: se.max_weight)
-    ub = np.zeros(len(ordered), dtype=np.float32)
+    ub = np.zeros(len(ordered), dtype=dtype)
     ub[0] = ordered[0].max_weight
     for i in range(1, len(ordered)):
-        ub[i] = np.float32(ub[i - 1] + ordered[i].max_weight)
+        ub[i] = dtype(ub[i - 1] + ordered[i].max_weight)
     non_essential = 0
     cur = min(se.enum.docid() for se in enums)
+    norms = wdata.norms(dtype)
     while non_essential < len(ordered) and cur < num_docs:
-        norm_len = wdata.norm_lens[cur]
+        norm_len = norms[cur]
         contribs = []
-        running = np.float32(0.0)
+        running = dtype(0.0)
         nxt = num_docs
         for i in range(non_essential, len(ordered)):
             se = ordered[i]
             if se.enum.docid() == cur:
-                w = np.float32(se.q_weight * doc_term_weight(se.enum.freq(), norm_len))
+                w = dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))
                 contribs.append((se.term, w))
-                running = np.float32(running + w)
+                running = dtype(running + w)
                 se.enum.next()
             if se.enum.docid() < nxt:
                 nxt = se.enum.docid()
         for i in range(non_essential - 1, -1, -1):
-            if not topk.would_enter(float(np.float32(running + ub[i]))):
+            if not topk.would_enter(float(dtype(running + ub[i]))):
                 break
             se = ordered[i]
             se.enum.next_geq(cur)
             if se.enum.docid() == cur:
-                w = np.float32(se.q_weight * doc_term_weight(se.enum.freq(), norm_len))
+                w = dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))
                 contribs.append((se.term, w))
-                running = np.float32(running + w)
-        if topk.insert(float(_sum_f32_term_order(contribs)), cur):
+                running = dtype(running + w)
+        if topk.insert(float(_sum_term_order(contribs, dtype)), cur):
             while (non_essential < len(ordered)
                    and not topk.would_enter(float(ub[non_essential]))):
                 non_essential += 1

@@ -24,26 +24,51 @@ ONE = F32(1.0)
 HALF = F32(0.5)
 
 
-def doc_term_weight(freq, norm_len):
-    """Vectorized float32 BM25 document-term weight."""
-    f = np.asarray(freq, dtype=np.float32)
-    nl = np.asarray(norm_len, dtype=np.float32)
-    return f / (f + K1 * (ONE - B + B * nl))
+def doc_term_weight(freq, norm_len, dtype=np.float32):
+    """Vectorized BM25 document-term weight.
+
+    dtype=float32 is the reference-parity contract (bm25.hpp evaluates
+    in float); float64 exists for the DuckDB oracle entries, where the
+    comparison target computes in double."""
+    f = np.asarray(freq, dtype=dtype)
+    nl = np.asarray(norm_len, dtype=dtype)
+    k1, b, one = dtype(1.2), dtype(0.5), dtype(1.0)
+    return f / (f + k1 * (one - b + b * nl))
 
 
-def query_term_weight(query_freq: int, df: int, num_docs: int) -> np.float32:
-    f = F32(query_freq)
-    fdf = F32(df)
-    idf = F32(np.log((F32(num_docs) - fdf + HALF) / (fdf + HALF)))
-    return f * max(EPS, idf) * (ONE + K1)
+def query_term_weight(query_freq: int, df: int, num_docs: int, dtype=np.float32):
+    f = dtype(query_freq)
+    fdf = dtype(df)
+    half = dtype(0.5)
+    idf = dtype(np.log((dtype(num_docs) - fdf + half) / (fdf + half)))
+    return f * max(dtype(1.0e-6), idf) * (dtype(1.0) + dtype(1.2))
 
 
 class WandData:
-    """norm_lens per doc + max doc-term weight per term."""
+    """norm_lens per doc + max doc-term weight per term.
 
-    def __init__(self, norm_lens: np.ndarray, max_term_weight: np.ndarray) -> None:
+    ``sizes`` (raw doc lengths) may be attached so the float64 oracle
+    path can recompute norms exactly (len / (sum(len)/N) in double, the
+    same arithmetic DuckDB's avg() uses) instead of widening the
+    float32-rounded norms."""
+
+    def __init__(self, norm_lens: np.ndarray, max_term_weight: np.ndarray,
+                 sizes: np.ndarray | None = None) -> None:
         self.norm_lens = norm_lens.astype(np.float32)
         self.max_term_weight = max_term_weight.astype(np.float32)
+        self.sizes = sizes
+        self._norms64 = None
+
+    def norms(self, dtype=np.float32) -> np.ndarray:
+        if dtype is np.float32:
+            return self.norm_lens
+        if self._norms64 is None:
+            if self.sizes is not None:
+                sz = np.asarray(self.sizes, dtype=np.float64)
+                self._norms64 = sz / (sz.sum() / len(sz))
+            else:
+                self._norms64 = self.norm_lens.astype(np.float64)
+        return self._norms64
 
     @classmethod
     def from_sizes(cls, sizes: np.ndarray, postings_iter) -> "WandData":

@@ -1,0 +1,96 @@
+"""Distributed pipeline vs single-process oracle (SURVEY.md §5 tier 5).
+
+The Ray build over the pages fixture must produce:
+- identical vocabulary (term -> term_id) and posting lists,
+- byte-identical encoded payloads per term (same dictionaries, same
+  deterministic encode),
+- rank-identical query results through the serving actor pool.
+"""
+
+import numpy as np
+import pytest
+
+import dint_ray.postings as pg
+from dint_ray.config import BuildConfig
+from dint_ray.fixtures import generate_queries, pages_fixture_path
+from dint_ray.index.build import build_index_local
+from dint_ray.pipelines.build import build_index_ray, load_built_index
+from dint_ray.pipelines.serve import queries_to_dataset, run_queries_ray
+from dint_ray.queries import algorithms as qa
+
+N_DOCS = 400
+VOCAB = 300
+
+# low salting threshold on purpose: head terms of the fixture exceed it,
+# so the salted two-phase merge path is exercised at test scale
+BCFG = BuildConfig(salt_df_threshold=64, salt_bucket_docs=100,
+                   tokenize_batch_size=128, tokenize_concurrency=2,
+                   encode_concurrency=2)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    pages_path = pages_fixture_path(N_DOCS, VOCAB, seed=5)
+    out_dir = str(tmp_path_factory.mktemp("index"))
+    manifest = build_index_ray(pages_path, out_dir, kind="single_packed",
+                               bcfg=BCFG, num_shards=4)
+    pages = pq.read_table(pages_path)
+    oracle_postings, vocab, sizes, num_docs = pg.oracle_postings(pages)
+    return out_dir, manifest, oracle_postings, vocab, sizes, num_docs
+
+
+def test_manifest_lineage(built):
+    out_dir, manifest, *_ = built
+    assert manifest["num_docs"] == N_DOCS
+    assert len(manifest["shards"]) <= 4
+    for s in manifest["shards"]:
+        assert s["rows"] > 0 and s["bytes"] > 0 and "wall_sec" in s
+        assert s["input"].startswith("pages_")
+
+
+def test_postings_match_oracle(built):
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    idx, wand, _ = load_built_index(out_dir)
+    assert set(idx.payloads.keys()) == set(oracle.keys())
+    for tid, (docs, freqs) in oracle.items():
+        dd, ff = idx.decode(tid)
+        np.testing.assert_array_equal(dd, docs)
+        np.testing.assert_array_equal(ff, freqs)
+
+
+def test_payloads_byte_identical_to_oracle(built):
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    local = build_index_local(oracle, sizes, num_docs, kind="single_packed")
+    idx, _, _ = load_built_index(out_dir)
+    mism = [t for t in oracle
+            if idx.payloads[t] != local.index.payloads[t]]
+    assert mism == [], f"{len(mism)} payloads differ, e.g. term {mism[:3]}"
+
+
+def test_resume_skips_finished_build(built):
+    out_dir, manifest, *_ = built
+    import time
+
+    t0 = time.time()
+    again = build_index_ray("unused-path.parquet", out_dir)  # must not read pages
+    assert time.time() - t0 < 2.0
+    assert again["num_docs"] == manifest["num_docs"]
+
+
+def test_serving_matches_local(built):
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    local = build_index_local(oracle, sizes, num_docs, kind="single_packed")
+    queries = generate_queries(40, vocab.size, seed=9)
+    qds = queries_to_dataset(queries)
+    res = run_queries_ray(qds, out_dir, algo="wand", k=10,
+                          concurrency=2).to_pandas()
+    for qid, q in enumerate(queries):
+        expect = qa.wand(local.index, local.wand, q, k=10)
+        got = res[res.query_id == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == [d for d, _ in expect], f"q{qid}"
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(),
+            np.array([s for _, s in expect], dtype=np.float32),
+        )
