@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module;
+nothing here (or in dint_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship: DINT index build over sf0.001 documents +
+                      float32 WAND top-10 serving of the fixed query log.
+- ``queries()``     — one callable per implemented operator/pipeline from
+                      SURVEY.md §2 (sf_dir -> Dataset/DataFrame/Table).
+- ``oracle_sql()``  — matching DuckDB SQL per query where the operator is
+                      SQL-expressible; omitted for probabilistic /
+                      stateful ops (LSH recall, fingerprint hashes,
+                      multimodal stubs) which get rows-only checks.
+
+Implementations live in dint_ray/entry.py.
 """
 
 from __future__ import annotations
@@ -18,27 +20,18 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from dint_ray import entry as _impl
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _impl.flagship_entry()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _impl.registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _impl.registry().items()
+            if sql is not None}

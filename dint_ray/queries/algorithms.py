@@ -71,6 +71,35 @@ def and_count(index, terms: list[int]) -> int:
     return results
 
 
+def and_docs(index, terms: list[int]) -> list[int]:
+    """Leapfrog intersection emitting the matched docIDs (the
+    pair_wise_intersect harness shape,
+    /root/reference/src/pair_wise_intersect.cpp:28-59)."""
+    terms = _present(index, remove_duplicate_terms(terms))
+    if not terms:
+        return []
+    enums = [index.enumerator(t) for t in terms]
+    enums.sort(key=lambda e: e.size)
+    num_docs = index.num_docs
+    out: list[int] = []
+    candidate = enums[0].docid()
+    i = 1
+    while candidate < num_docs:
+        while i < len(enums):
+            enums[i].next_geq(candidate)
+            if enums[i].docid() != candidate:
+                candidate = enums[i].docid()
+                i = 0
+                break
+            i += 1
+        else:
+            out.append(int(candidate))
+            enums[0].next()
+            candidate = enums[0].docid()
+            i = 1
+    return out
+
+
 def or_count(index, terms: list[int]) -> int:
     terms = _present(index, remove_duplicate_terms(terms))
     if not terms:
