@@ -67,23 +67,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extra["num_docs"] = num_docs
     extra["num_postings"] = int(manifest.get("num_terms", 0))
 
-    # --- 2. BM25 serving (float32 WAND top-10) ---------------------------
+    # --- 2. BM25 serving -------------------------------------------------
+    # Headline: vectorized exact scorer (rank-identical to WAND /
+    # MaxScore / exhaustive ranked-OR — asserted in tests); the faithful
+    # document-at-a-time WAND and MaxScore are timed as comparison
+    # points (on this 31-term dense corpus term bounds cannot prune, so
+    # they pay pointer-chasing cost for no skipped postings).
     qlog = generate_queries(NUM_QUERIES, manifest["num_terms"])
     qds = queries_to_dataset(qlog)
-    t0 = time.time()
-    res = run_queries_ray(qds, out_dir, algo="wand", k=K,
-                          concurrency=num_cpus, batch_size=32)
-    nrows = res.count()
-    times["bm25_wand_serve"] = time.time() - t0
-    extra["queries_per_sec"] = round(NUM_QUERIES / times["bm25_wand_serve"], 1)
-    assert nrows > 0
-
-    # --- 3. maxscore serving (comparison point) --------------------------
-    t0 = time.time()
-    res = run_queries_ray(qds, out_dir, algo="maxscore", k=K,
-                          concurrency=num_cpus, batch_size=32)
-    res.count()
-    times["bm25_maxscore_serve"] = time.time() - t0
+    for algo, tag in (("ranked_or_fast", "bm25_serve"),
+                      ("wand", "bm25_wand_serve"),
+                      ("maxscore", "bm25_maxscore_serve")):
+        t0 = time.time()
+        res = run_queries_ray(qds, out_dir, algo=algo, k=K,
+                              concurrency=num_cpus, batch_size=32)
+        nrows = res.count()
+        times[tag] = time.time() - t0
+        assert nrows > 0
+    extra["queries_per_sec"] = round(NUM_QUERIES / times["bm25_serve"], 1)
+    extra["wand_queries_per_sec"] = round(
+        NUM_QUERIES / times["bm25_wand_serve"], 1)
 
     # --- 4. training-data ops --------------------------------------------
     def docs_ds():

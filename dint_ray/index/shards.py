@@ -35,6 +35,8 @@ class InvertedIndex:
         self.docs_codec = docs_codec
         self.freqs_codec = freqs_codec
         self._views: dict[int, PostingListView] = {}
+        self._decoded: dict[int, tuple] = {}
+        self._dtw: dict[tuple, object] = {}
 
     def __contains__(self, term_id: int) -> bool:
         return term_id in self.payloads
@@ -54,6 +56,38 @@ class InvertedIndex:
 
     def decode(self, term_id: int):
         return self.view(term_id).decode_all()
+
+    def cached_decode(self, term_id: int):
+        """Decode-once cache: the serving-actor equivalent of the
+        reference's page-cache warmup (queries.cpp:74-83).  Bounded by
+        the actor's shard set, which is hash-partitioned at scale."""
+        r = self._decoded.get(term_id)
+        if r is None:
+            r = self.view(term_id).decode_all()
+            self._decoded[term_id] = r
+        return r
+
+    def docs_list(self, term_id: int):
+        """Decoded docIDs as a Python int list (cached); the cheap form
+        for document-at-a-time pointer loops."""
+        r = self._decoded.get((term_id, "list"))
+        if r is None:
+            r = self.cached_decode(term_id)[0].tolist()
+            self._decoded[(term_id, "list")] = r
+        return r
+
+    def doc_term_weights(self, term_id: int, norms, dtype):
+        """Per-posting BM25 doc-term weights, cached per (term, dtype);
+        query-independent so shared across all queries on this actor."""
+        key = (term_id, dtype)
+        w = self._dtw.get(key)
+        if w is None:
+            from dint_ray.scoring import doc_term_weight
+
+            docs, freqs = self.cached_decode(term_id)
+            w = doc_term_weight(freqs, norms[docs], dtype)
+            self._dtw[key] = w
+        return w
 
 
 def write_shard(path: str, rows: list[tuple[int, int, float, bytes]]) -> dict:

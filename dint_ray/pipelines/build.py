@@ -61,69 +61,90 @@ def _mark_done(path: str) -> None:
         f.write("ok")
 
 
-class StatsCollector:
+def collect_stats_batch(batch: pa.Table, *, kind: str) -> pa.Table:
     """Map-side combine for gap-pattern stats: one batch of posting-list
-    rows -> (ctx, pattern, freq) partial-count rows (SURVEY.md D1/D2)."""
+    rows -> (stream, ctx, pattern, freq) partial-count rows for BOTH the
+    docs-gap and freqs streams in a single pass (SURVEY.md D1/D2).
+    Stateless on purpose — runs as a task pool, no actor startup."""
+    from dint_ray.util import list_views
 
-    def __init__(self, stream: str, kind: str) -> None:
-        assert stream in ("docs", "freqs")
-        self.stream = stream
-        self.multi = kind == "multi_packed"
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.stream)
-        bufs = []
-        for i in range(len(col)):
-            vals = np.asarray(col[i].as_py(), dtype=np.uint32)
-            if self.stream == "docs":
-                bufs.append(st.docs_gap_buffer(vals))
-            else:
-                bufs.append(st.freqs_gap_buffer(vals))
-        if self.multi:
+    multi = kind == "multi_packed"
+    streams, pats, ctxs, freqs, totals = [], [], [], [], []
+    for stream in ("docs", "freqs"):
+        views = list_views(batch.column(stream))
+        gap = st.docs_gap_buffer if stream == "docs" else st.freqs_gap_buffer
+        bufs = [gap(np.asarray(v, dtype=np.uint32)) for v in views]
+        if multi:
             maps, total = st.collect_multi(bufs)
         else:
             counts, total = st.collect_single(bufs)
             maps = [counts]
-        pats, ctxs, freqs = [], [], []
+        first = True
         for ctx, m in enumerate(maps):
             pats.extend(m.keys())
             freqs.extend(m.values())
             ctxs.extend([ctx] * len(m))
-        return pa.table({
-            "ctx": pa.array(ctxs, pa.uint8()),
-            "pattern": pa.array(pats, pa.binary()),
-            "freq": pa.array(np.asarray(freqs, dtype=np.uint64), pa.uint64()),
-            "total_ints": pa.array(
-                [total] + [0] * (len(pats) - 1) if pats else [], pa.uint64()
-            ),
-        })
+            streams.extend([stream] * len(m))
+            # one totals carrier row per (batch, stream)
+            if m:
+                totals.extend([total if first else 0] + [0] * (len(m) - 1))
+                first = False
+    return pa.table({
+        "stream": pa.array(streams, pa.string()),
+        "ctx": pa.array(ctxs, pa.uint8()),
+        "pattern": pa.array(pats, pa.binary()),
+        "freq": pa.array(np.asarray(freqs, dtype=np.uint64), pa.uint64()),
+        "total_ints": pa.array(np.asarray(totals, dtype=np.uint64),
+                               pa.uint64()),
+    })
 
 
-def mine_stats_ray(postings_ds, stream: str, kind: str, out_path: str):
-    """Distributed D1/D2: per-batch combine -> groupby((ctx, pattern)).sum.
+def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str):
+    """Distributed D1/D2 for both streams in ONE pass + ONE shuffle:
+    per-batch combine -> groupby((stream, ctx, pattern)).sum.
 
     The head keys (zero runs) are collapsed to <= 1 row per batch by the
     combine, so the shuffle sees no skew (SURVEY.md §4 skew row)."""
     import ray
     from ray.data.aggregate import Sum
 
-    if os.path.exists(out_path):
-        return pq.read_table(out_path)
+    if os.path.exists(docs_path) and os.path.exists(freqs_path):
+        return pq.read_table(docs_path), pq.read_table(freqs_path)
     partial = postings_ds.map_batches(
-        StatsCollector, fn_constructor_kwargs={"stream": stream, "kind": kind},
+        collect_stats_batch, fn_kwargs={"kind": kind},
         batch_format="pyarrow", batch_size=256, num_cpus=1,
-        concurrency=(1, 8),
-    ).materialize()  # consumed twice (agg + total); partials are small
-    agg = partial.groupby(["ctx", "pattern"]).aggregate(Sum("freq", alias_name="freq"))
-    total = partial.sum("total_ints")
-    # stats are small (<= millions of patterns) -> driver-side table
-    table = pa.concat_tables([t for t in ray.get(agg.to_arrow_refs()) if t is not None])
-    table = table.append_column("total_ints_global",
-                                pa.array([total] * len(table), pa.uint64()))
-    tmp = out_path + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, out_path)
-    return table
+    ).materialize()  # consumed twice (pattern agg + totals); partials are small
+    nrows = partial.count()
+    if nrows <= 2_000_000:
+        # small enough for one C++ group_by on the driver: a Ray
+        # sort-shuffle here is all fixed cost (the map-side combine
+        # already collapsed the head keys)
+        pt = pa.concat_tables(
+            [t for t in ray.get(partial.to_arrow_refs()) if t is not None])
+        table = pt.group_by(["stream", "ctx", "pattern"]).aggregate(
+            [("freq", "sum")]).rename_columns(["stream", "ctx", "pattern", "freq"])
+        tot = pt.group_by("stream").aggregate([("total_ints", "sum")])
+        totals = {s.as_py(): int(v.as_py()) for s, v in
+                  zip(tot.column("stream"), tot.column("total_ints_sum"))}
+    else:
+        agg = partial.groupby(["stream", "ctx", "pattern"]).aggregate(
+            Sum("freq", alias_name="freq"))
+        totals = {r["stream"]: int(r["total"]) for r in
+                  partial.groupby("stream").aggregate(
+                      Sum("total_ints", alias_name="total")).take_all()}
+        table = pa.concat_tables(
+            [t for t in ray.get(agg.to_arrow_refs()) if t is not None])
+    out = []
+    for stream, path in (("docs", docs_path), ("freqs", freqs_path)):
+        mask = pa.compute.equal(table.column("stream"), stream)
+        t = table.filter(mask).drop_columns(["stream"])
+        t = t.append_column("total_ints_global",
+                            pa.array([totals.get(stream, 0)] * len(t), pa.uint64()))
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        out.append(t)
+    return out[0], out[1]
 
 
 def _dicts_from_stats(stats_docs: pa.Table, stats_freqs: pa.Table,
@@ -157,13 +178,15 @@ class EncodeLists:
         self.norm_lens = ray.get(norm_lens_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from dint_ray.util import list_views
+
         tids = batch.column("term_id").to_numpy()
-        docs_col = batch.column("docs")
-        freqs_col = batch.column("freqs")
+        docs_views = list_views(batch.column("docs"))
+        freqs_views = list_views(batch.column("freqs"))
         payloads, dfs, maxw = [], [], []
-        for i in range(len(tids)):
-            docs = np.asarray(docs_col[i].as_py(), dtype=np.uint32)
-            freqs = np.asarray(freqs_col[i].as_py(), dtype=np.uint32)
+        for docs, freqs in zip(docs_views, freqs_views):
+            docs = np.ascontiguousarray(docs, dtype=np.uint32)
+            freqs = np.ascontiguousarray(freqs, dtype=np.uint32)
             payloads.append(write_posting_list(docs, freqs,
                                                self.docs_codec, self.freqs_codec))
             dfs.append(len(docs))
@@ -192,9 +215,18 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         with open(manifest_path) as f:
             return json.load(f)
 
+    # num_docs from parquet footers: no Ray pass just to count rows
+    num_docs = pq.read_metadata(pages_path).num_rows if os.path.isfile(pages_path) \
+        else rd.read_parquet(pages_path).count()
     pages = rd.read_parquet(pages_path, columns=[id_col, "html" if from_html else text_col])
-    num_docs = pages.count()
+    stage_secs: dict[str, float] = {}
 
+    def _tick(name: str, t0: float) -> float:
+        now = time.time()
+        stage_secs[name] = round(now - t0, 3)
+        return now
+
+    t = time.time()
     # --- stage 1: tokenize -> posting rows (checkpointed parquet) ---
     rows_dir = os.path.join(out_dir, "postings_rows")
     if not _done(rows_dir):
@@ -202,6 +234,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         tokenize_rows(pages, bcfg, from_html=from_html).write_parquet(rows_dir)
         _mark_done(rows_dir)
     rows_ds = rd.read_parquet(rows_dir)
+    t = _tick("tokenize", t)
 
     # --- stage 2: vocabulary ---
     vocab_path = os.path.join(out_dir, "vocab.parquet")
@@ -212,6 +245,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         tmp = vocab_path + ".tmp"
         pq.write_table(pa.Table.from_pandas(vocab.terms, preserve_index=False), tmp)
         os.replace(tmp, vocab_path)
+    t = _tick("vocabulary", t)
 
     # --- stage 3: posting lists (salted groupby) ---
     lists_dir = os.path.join(out_dir, "postings")
@@ -220,6 +254,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         build_posting_lists(rows_ds, vocab, bcfg).write_parquet(lists_dir)
         _mark_done(lists_dir)
     lists_ds = rd.read_parquet(lists_dir)
+    t = _tick("posting_lists", t)
 
     # --- stage 4: doc sizes ---
     sizes_path = os.path.join(out_dir, "sizes.parquet")
@@ -231,12 +266,14 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     sz = pq.read_table(sizes_path)
     sizes = np.zeros(num_docs, dtype=np.uint32)
     sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = sz.column("len").to_numpy()
+    t = _tick("doc_sizes", t)
 
-    # --- stage 5: gap-pattern stats (the mining shuffle) ---
-    stats_docs = mine_stats_ray(lists_ds, "docs", kind,
-                                os.path.join(out_dir, "stats_docs.parquet"))
-    stats_freqs = mine_stats_ray(lists_ds, "freqs", kind,
-                                 os.path.join(out_dir, "stats_freqs.parquet"))
+    # --- stage 5: gap-pattern stats (the mining shuffle, both streams) ---
+    stats_docs, stats_freqs = mine_stats_ray(
+        lists_ds, kind,
+        os.path.join(out_dir, "stats_docs.parquet"),
+        os.path.join(out_dir, "stats_freqs.parquet"))
+    t = _tick("pattern_stats", t)
 
     # --- stage 6: dictionaries (driver; stats are tiny) ---
     dict_path = os.path.join(out_dir, f"dicts_{kind}.npz")
@@ -249,6 +286,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         saver = save_single if kind == "single_packed" else save_multi
         saver(dict_path + ".docs.npz", dicts.docs_dict)
         saver(dict_path + ".freqs.npz", dicts.freqs_dict)
+    t = _tick("dictionaries", t)
 
     # --- stage 7: encode + shard write ---
     avg = float(np.asarray(sizes, dtype=np.float64).sum() / num_docs)
@@ -289,6 +327,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     )
     shards = sorted((json.loads(r["lineage"]) for r in lineage_rows),
                     key=lambda s: s["shard_id"])
+    _tick("encode_and_shards", t)
 
     write_manifest(
         out_dir,
@@ -302,6 +341,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
             "num_shards": num_shards,
             "build_wall_sec": round(time.time() - t_start, 3),
             "docs_per_sec": round(num_docs / max(time.time() - t_start, 1e-9), 1),
+            "stage_secs": stage_secs,
         },
     )
     with open(manifest_path) as f:

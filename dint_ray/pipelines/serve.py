@@ -22,12 +22,26 @@ ALGOS = ("ranked_or", "ranked_or_fast", "ranked_and", "wand", "maxscore",
 
 
 class ScorerActor:
-    def __init__(self, index_dir: str, algo: str = "wand", k: int = 10) -> None:
-        from dint_ray.pipelines.build import load_built_index
+    """Each actor holds the index once (ST2-ST4).  Pass either
+    ``index_ref`` (a ray.put of the loaded (index, wand) pair — loaded
+    once on the driver, shared via the object store, no per-actor file
+    I/O) or ``index_dir`` (each actor reads its shards itself — the
+    shape that hash-partitions across actors at scale)."""
+
+    def __init__(self, index_dir: str | None = None, algo: str = "wand",
+                 k: int = 10, index_ref=None) -> None:
         from dint_ray.queries import algorithms as qa
 
         assert algo in ALGOS
-        self.index, self.wand, self.manifest = load_built_index(index_dir)
+        if index_ref is not None:
+            import ray
+
+            self.index, self.wand = ray.get(index_ref)
+            self.manifest = None
+        else:
+            from dint_ray.pipelines.build import load_built_index
+
+            self.index, self.wand, self.manifest = load_built_index(index_dir)
         self.k = k
         self.algo = algo
         self.qa = qa
@@ -61,14 +75,32 @@ class ScorerActor:
 
 
 def run_queries_ray(queries_ds, index_dir: str, algo: str = "wand",
-                    k: int = 10, concurrency: int = 8, batch_size: int = 64):
-    """queries Dataset -> (query_id, rank, doc_id, score) Dataset."""
+                    k: int = 10, concurrency: int = 8, batch_size: int = 64,
+                    broadcast: bool = True):
+    """queries Dataset -> (query_id, rank, doc_id, score) Dataset.
+
+    With ``broadcast`` (default) the index is loaded once on the driver
+    and shipped to the actor pool via ray.put — right whenever the
+    per-actor shard set fits memory; at 10^12-doc scale switch it off
+    and give each actor its hash-partitioned shard subset instead."""
+    kwargs = {"algo": algo, "k": k}
+    if broadcast:
+        import ray
+
+        from dint_ray.pipelines.build import load_built_index
+
+        index, wand, _ = load_built_index(index_dir)
+        kwargs["index_ref"] = ray.put((index, wand))
+    else:
+        kwargs["index_dir"] = index_dir
     return queries_ds.map_batches(
         ScorerActor,
-        fn_constructor_kwargs={"index_dir": index_dir, "algo": algo, "k": k},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        # fixed pool: all scorers spin up immediately (an autoscaling
+        # (1, N) pool ramps from one actor and serializes the burst)
+        concurrency=concurrency,
         num_cpus=1,
     )
 

@@ -60,6 +60,25 @@ def make_vocabulary(term_df: pd.DataFrame) -> Vocabulary:
 # Ray pipeline
 # --------------------------------------------------------------------------
 
+def _shuffle_width() -> int:
+    """Reduce-side width for wide ops: ~one block per core.
+
+    Small inputs produce many tiny blocks whose per-block scheduling
+    dominates sort-based shuffles; coalescing to core count first cuts
+    that fixed cost.  At scale the streaming executor splits oversized
+    blocks again, so this is a floor, not a cap."""
+    import ray
+
+    try:
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
+def _coalesce(ds, width: int | None = None):
+    return ds.repartition(width or _shuffle_width(), shuffle=False)
+
+
 def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = False):
     """pages Dataset -> (doc_id, term, tf) rows Dataset (actor pool)."""
     return pages_ds.map_batches(
@@ -87,11 +106,22 @@ def build_vocabulary(rows_ds) -> Vocabulary:
     10^12-doc scale this would instead stay a Dataset and term_ids
     would be joined back via a hash-partitioned join on `term`.
     """
+    import ray
     from ray.data.aggregate import Sum
 
-    partial = rows_ds.map_batches(_partial_df, batch_format="pyarrow")
-    agg = partial.groupby("term").aggregate(Sum("df_part", alias_name="df"))
-    pdf = agg.to_pandas()
+    partial = rows_ds.map_batches(_partial_df, batch_format="pyarrow").materialize()
+    if partial.count() <= 2_000_000:
+        # per-batch combine already shrank the data to ~one row per
+        # (term, batch): finish with one C++ group_by on the driver
+        # instead of paying a Ray sort-shuffle's fixed cost
+        pt = pa.concat_tables(
+            [t for t in ray.get(partial.to_arrow_refs()) if t is not None])
+        pdf = (pt.group_by("term").aggregate([("df_part", "sum")])
+               .rename_columns(["term", "df"]).to_pandas())
+    else:
+        agg = _coalesce(partial).groupby("term").aggregate(
+            Sum("df_part", alias_name="df"))
+        pdf = agg.to_pandas()
     pdf["df"] = pdf["df"].astype(np.int64)
     return make_vocabulary(pdf[["term", "df"]])
 
@@ -179,17 +209,25 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
         concurrency=(1, cfg.tokenize_concurrency),
         num_cpus=1,
     )
-    runs = keyed.groupby(["term_id", "bucket"]).map_groups(
+    runs = _coalesce(keyed).groupby(["term_id", "bucket"]).map_groups(
         _bucket_lists, batch_format="pyarrow"
     )
     return runs.groupby("term_id").map_groups(_merge_buckets, batch_format="pyarrow")
+
+
+def _partial_sizes(batch: pa.Table) -> pa.Table:
+    """Map-side combine: per-batch tf sum per doc (a doc usually lands
+    in one batch, so the shuffle input shrinks to ~one row per doc)."""
+    g = batch.group_by("doc_id").aggregate([("tf", "sum")])
+    return g.rename_columns(["doc_id", "len_part"])
 
 
 def doc_sizes(rows_ds):
     """(doc_id, len) Dataset; len = sum of tfs = token count."""
     from ray.data.aggregate import Sum
 
-    return rows_ds.groupby("doc_id").aggregate(Sum("tf", alias_name="len"))
+    partial = _coalesce(rows_ds.map_batches(_partial_sizes, batch_format="pyarrow"))
+    return partial.groupby("doc_id").aggregate(Sum("len_part", alias_name="len"))
 
 
 # --------------------------------------------------------------------------

@@ -124,34 +124,67 @@ def or_count(index, terms: list[int]) -> int:
 # ranked
 # --------------------------------------------------------------------------
 
-class _ScoredEnum:
-    __slots__ = ("term", "enum", "q_weight", "max_weight")
+class _ScoredList:
+    """Positional cursor over a decoded, pre-scored posting list.
 
-    def __init__(self, term, enum, q_weight, max_weight=0.0):
+    The per-posting float32 BM25 weight ``w[i] = qw * dtw[i]`` is
+    precomputed as one vector op (dtw is cached on the index per term —
+    query-independent), so the document-at-a-time loops below do array
+    lookups instead of per-posting scoring calls.  Identical arithmetic
+    to scoring each posting scalar-wise: IEEE elementwise ops."""
+
+    __slots__ = ("term", "docs", "docs_l", "w", "pos", "n", "universe",
+                 "max_weight", "size")
+
+    def __init__(self, term, docs, docs_l, w, universe, max_weight):
         self.term = term
-        self.enum = enum
-        self.q_weight = q_weight
+        self.docs = docs        # uint32 ndarray (for searchsorted)
+        self.docs_l = docs_l    # same values as a Python int list
+        self.w = w              # dtype ndarray, query-scaled
+        self.n = len(docs_l)
+        self.pos = 0
+        self.universe = universe
         self.max_weight = max_weight
+        self.size = self.n
+
+    def docid(self):
+        p = self.pos
+        return self.docs_l[p] if p < self.n else self.universe
+
+    def weight(self):
+        return self.w[self.pos]
+
+    def next(self):
+        self.pos += 1
+
+    def next_geq(self, lb):
+        p = self.pos
+        if p < self.n and self.docs_l[p] < lb:
+            self.pos = p + int(np.searchsorted(self.docs[p:], lb, side="left"))
 
 
-def _scored_enums(index, wdata: WandData, terms, with_bounds=False, dtype=np.float32):
-    enums = []
+def _scored_lists(index, wdata: WandData, terms, with_bounds=False, dtype=np.float32):
+    lists = []
+    norms = wdata.norms(dtype)
+    num_docs = index.num_docs
     for term, qf in query_freqs(terms):
         if term not in index:
             continue
-        en = index.enumerator(term)
-        qw = query_term_weight(qf, en.size, index.num_docs, dtype)
+        docs, _ = index.cached_decode(term)
+        docs_l = index.docs_list(term)
+        qw = query_term_weight(qf, len(docs_l), num_docs, dtype)
+        dtw = index.doc_term_weights(term, norms, dtype)
+        w = (dtype(qw) * dtw).astype(dtype, copy=False)
         if with_bounds:
             if dtype is np.float32:
                 mw = np.float32(qw * wdata.max_term_weight[term])
             else:
                 # recompute the term bound in f64 so it stays an upper bound
-                docs, freqs = index.decode(term)
-                mw = dtype(qw * doc_term_weight(freqs, wdata.norms(dtype)[docs], dtype).max())
+                mw = dtype(qw * dtw.max())
         else:
             mw = dtype(0.0)
-        enums.append(_ScoredEnum(term, en, qw, mw))
-    return enums
+        lists.append(_ScoredList(term, docs, docs_l, w, num_docs, mw))
+    return lists
 
 
 def _sum_term_order(contribs, dtype=np.float32):
@@ -164,23 +197,21 @@ def _sum_term_order(contribs, dtype=np.float32):
 def ranked_or(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     """Exhaustive BM25 union — the oracle for the pruned algorithms."""
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms, dtype=dtype)
-    if not enums:
+    lists = _scored_lists(index, wdata, terms, dtype=dtype)
+    if not lists:
         return []
     num_docs = index.num_docs
-    norms = wdata.norms(dtype)
-    cur = min(se.enum.docid() for se in enums)
+    cur = min(L.docid() for L in lists)
     while cur < num_docs:
         score = dtype(0.0)
-        norm_len = norms[cur]
         nxt = num_docs
-        for se in enums:  # ascending term order by construction
-            if se.enum.docid() == cur:
-                w = dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))
-                score = dtype(score + w)
-                se.enum.next()
-            if se.enum.docid() < nxt:
-                nxt = se.enum.docid()
+        for L in lists:  # ascending term order by construction
+            if L.docid() == cur:
+                score = dtype(score + L.weight())
+                L.next()
+            d = L.docid()
+            if d < nxt:
+                nxt = d
         topk.insert(float(score), cur)
         cur = nxt
     return topk.finalize()
@@ -192,14 +223,15 @@ def ranked_or_fast(index, wdata: WandData, terms: list[int], k: int = 10, dtype=
     num_docs = index.num_docs
     scores = np.zeros(num_docs, dtype=dtype)
     touched = np.zeros(num_docs, dtype=bool)
+    norms = wdata.norms(dtype)
     any_term = False
     for term, qf in query_freqs(terms):
         if term not in index:
             continue
         any_term = True
-        docs, freqs = index.decode(term)
-        qw = query_term_weight(qf, index.size(term), num_docs, dtype)
-        w = dtype(qw) * doc_term_weight(freqs, wdata.norms(dtype)[docs], dtype)
+        docs, _ = index.cached_decode(term)
+        qw = query_term_weight(qf, len(docs), num_docs, dtype)
+        w = dtype(qw) * index.doc_term_weights(term, norms, dtype)
         scores[docs] += w.astype(dtype)
         touched[docs] = True
     if not any_term:
@@ -220,72 +252,66 @@ def ranked_or_fast(index, wdata: WandData, terms: list[int], k: int = 10, dtype=
 
 def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms, dtype=dtype)
-    if not enums:
+    lists = _scored_lists(index, wdata, terms, dtype=dtype)
+    if not lists:
         return []
-    enums_sz = sorted(enums, key=lambda se: se.enum.size)
+    lists_sz = sorted(lists, key=lambda L: L.size)
     num_docs = index.num_docs
-    candidate = enums_sz[0].enum.docid()
+    candidate = lists_sz[0].docid()
     i = 1
     while candidate < num_docs:
-        while i < len(enums_sz):
-            enums_sz[i].enum.next_geq(candidate)
-            if enums_sz[i].enum.docid() != candidate:
-                candidate = enums_sz[i].enum.docid()
+        while i < len(lists_sz):
+            lists_sz[i].next_geq(candidate)
+            if lists_sz[i].docid() != candidate:
+                candidate = lists_sz[i].docid()
                 i = 0
                 break
             i += 1
         else:
-            norm_len = wdata.norms(dtype)[candidate]
-            contribs = [
-                (se.term, dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype)))
-                for se in enums_sz
-            ]
+            contribs = [(L.term, L.weight()) for L in lists_sz]
             topk.insert(float(_sum_term_order(contribs, dtype)), candidate)
-            enums_sz[0].enum.next()
-            candidate = enums_sz[0].enum.docid()
+            lists_sz[0].next()
+            candidate = lists_sz[0].docid()
             i = 1
     return topk.finalize()
 
 
 def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms, with_bounds=True, dtype=dtype)
-    if not enums:
+    lists = _scored_lists(index, wdata, terms, with_bounds=True, dtype=dtype)
+    if not lists:
         return []
     num_docs = index.num_docs
-    ordered = sorted(enums, key=lambda se: se.enum.docid())
+    ordered = sorted(lists, key=lambda L: L.docid())
     while True:
         upper_bound = dtype(0.0)
         pivot = None
-        for idx, se in enumerate(ordered):
-            if se.enum.docid() >= num_docs:
+        for idx, L in enumerate(ordered):
+            if L.docid() >= num_docs:
                 break
-            upper_bound = dtype(upper_bound + se.max_weight)
+            upper_bound = dtype(upper_bound + L.max_weight)
             if topk.would_enter(float(upper_bound)):
                 pivot = idx
                 break
         if pivot is None:
             break
-        pivot_id = ordered[pivot].enum.docid()
-        if pivot_id == ordered[0].enum.docid():
-            norm_len = wdata.norms(dtype)[pivot_id]
+        pivot_id = ordered[pivot].docid()
+        if pivot_id == ordered[0].docid():
             contribs = []
-            for se in ordered:
-                if se.enum.docid() != pivot_id:
+            for L in ordered:
+                if L.docid() != pivot_id:
                     break
-                contribs.append((se.term, dtype(
-                    se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))))
-                se.enum.next()
+                contribs.append((L.term, L.weight()))
+                L.next()
             topk.insert(float(_sum_term_order(contribs, dtype)), pivot_id)
-            ordered.sort(key=lambda se: se.enum.docid())
+            ordered.sort(key=lambda L: L.docid())
         else:
             nxt = pivot
-            while ordered[nxt].enum.docid() == pivot_id:
+            while ordered[nxt].docid() == pivot_id:
                 nxt -= 1
-            ordered[nxt].enum.next_geq(pivot_id)
+            ordered[nxt].next_geq(pivot_id)
             j = nxt + 1
-            while j < len(ordered) and ordered[j].enum.docid() < ordered[j - 1].enum.docid():
+            while j < len(ordered) and ordered[j].docid() < ordered[j - 1].docid():
                 ordered[j], ordered[j - 1] = ordered[j - 1], ordered[j]
                 j += 1
     return topk.finalize()
@@ -293,40 +319,39 @@ def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32
 
 def maxscore(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     topk = TopK(k)
-    enums = _scored_enums(index, wdata, terms, with_bounds=True, dtype=dtype)
-    if not enums:
+    lists = _scored_lists(index, wdata, terms, with_bounds=True, dtype=dtype)
+    if not lists:
         return []
     num_docs = index.num_docs
-    ordered = sorted(enums, key=lambda se: se.max_weight)
+    ordered = sorted(lists, key=lambda L: L.max_weight)
     ub = np.zeros(len(ordered), dtype=dtype)
     ub[0] = ordered[0].max_weight
     for i in range(1, len(ordered)):
         ub[i] = dtype(ub[i - 1] + ordered[i].max_weight)
     non_essential = 0
-    cur = min(se.enum.docid() for se in enums)
-    norms = wdata.norms(dtype)
+    cur = min(L.docid() for L in lists)
     while non_essential < len(ordered) and cur < num_docs:
-        norm_len = norms[cur]
         contribs = []
         running = dtype(0.0)
         nxt = num_docs
         for i in range(non_essential, len(ordered)):
-            se = ordered[i]
-            if se.enum.docid() == cur:
-                w = dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))
-                contribs.append((se.term, w))
+            L = ordered[i]
+            if L.docid() == cur:
+                w = L.weight()
+                contribs.append((L.term, w))
                 running = dtype(running + w)
-                se.enum.next()
-            if se.enum.docid() < nxt:
-                nxt = se.enum.docid()
+                L.next()
+            d = L.docid()
+            if d < nxt:
+                nxt = d
         for i in range(non_essential - 1, -1, -1):
             if not topk.would_enter(float(dtype(running + ub[i]))):
                 break
-            se = ordered[i]
-            se.enum.next_geq(cur)
-            if se.enum.docid() == cur:
-                w = dtype(se.q_weight * doc_term_weight(se.enum.freq(), norm_len, dtype))
-                contribs.append((se.term, w))
+            L = ordered[i]
+            L.next_geq(cur)
+            if L.docid() == cur:
+                w = L.weight()
+                contribs.append((L.term, w))
                 running = dtype(running + w)
         if topk.insert(float(_sum_term_order(contribs, dtype)), cur):
             while (non_essential < len(ordered)

@@ -90,3 +90,15 @@ def selector_codes(block_maxes: np.ndarray) -> np.ndarray:
     inner = _bit_length(np.maximum(m, 1))
     code = _bit_length(np.maximum(inner - 1, 1))
     return np.where(m > 1, code, 0).astype(np.uint8)
+
+
+def list_views(col):
+    """Numpy views of each list in an Arrow list column (no per-row
+    ``as_py``): one flattened values array + offset slicing."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False)
+    offsets = col.offsets.to_numpy()
+    return [values[offsets[i]:offsets[i + 1]] for i in range(len(col))]
