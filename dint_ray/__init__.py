@@ -16,3 +16,66 @@ at the behavior being re-expressed.
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_ray_data() -> None:
+    """Process-wide Ray Data defaults for this engine.
+
+    Hash-based shuffle: every wide op in the pipeline is a hash
+    aggregation or hash repartition (groupby(term), pattern counts,
+    pair dedup) — hash shuffle avoids the sort-based exchange's global
+    range partitioning and is required for ``repartition(keys=...)``.
+    Datasets snapshot the context at creation, so this must run at
+    import, before any pipeline builds a Dataset."""
+    try:
+        import os
+
+        import ray.data as rd
+        from ray.data.context import ShuffleStrategy
+
+        ctx = rd.DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # Defaults assume a big cluster (200 partitions, 64 aggregator
+        # actors, whole-CPU reservations) and deadlock small sessions
+        # where map actor pools already hold every CPU.  Scale the
+        # exchange to the machine and make aggregators fractional.
+        ncpu = max(4, min(64, os.cpu_count() or 8))
+        ctx.default_hash_shuffle_parallelism = ncpu
+        ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
+        # conservative reservations so shuffle/aggregator actors can
+        # coexist with map actor pools on tiny sessions; pipelines call
+        # tune_for_cluster() at entry to rescale once the real CPU
+        # count is known
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    except Exception:  # pragma: no cover - ray absent or API drift
+        pass
+
+
+def tune_for_cluster() -> None:
+    """Rescale Ray Data exchange knobs to the live cluster.
+
+    Called at pipeline entry (after ray.init): DataContext is captured
+    by Datasets at creation, so this must run before a pipeline builds
+    its Datasets.  Small sessions keep near-zero aggregator
+    reservations (map actor pools already hold every CPU there); big
+    sessions give aggregators real cores so wide aggregations don't
+    serialize."""
+    try:
+        import ray
+        import ray.data as rd
+
+        if not ray.is_initialized():
+            return
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        ctx = rd.DataContext.get_current()
+        ctx.default_hash_shuffle_parallelism = max(4, ncpu)
+        ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
+        frac = 0.05 if ncpu <= 8 else 0.25
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = frac
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = frac
+    except Exception:  # pragma: no cover - ray absent or API drift
+        pass
+
+
+_configure_ray_data()

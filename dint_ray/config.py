@@ -48,11 +48,21 @@ class BuildConfig:
     # Low threshold on purpose so fixtures exercise the salted path.
     salt_df_threshold: int = 4096
     salt_bucket_docs: int = 4096
-    # encode stage actor pool
+    # actor pools; concurrency 0 = size to the cluster (one per CPU)
     encode_batch_size: int = 64
-    encode_concurrency: int = 8
+    encode_concurrency: int = 0
     tokenize_batch_size: int = 1024
-    tokenize_concurrency: int = 8
+    tokenize_concurrency: int = 0
+
+    def pool_size(self, configured: int) -> int:
+        if configured:
+            return configured
+        try:
+            import ray
+
+            return max(4, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            return 8
 
 
 DEFAULT = DintConfig()

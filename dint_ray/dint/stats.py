@@ -105,6 +105,169 @@ def merge_counts(parts: list[dict[bytes, int]]) -> dict[bytes, int]:
     return dict(out)
 
 
+# --------------------------------------------------------------------------
+# hash-keyed counting (the scale path)
+#
+# The reference's collectors key their frequency maps by murmur64 of the
+# pattern (statistics_collectors.hpp:66-80, hash_utils.hpp:7-80); we take
+# the same stance end-to-end: count by 64-bit window hash (pure numpy,
+# no per-window Python), select winners on (freq desc, len desc, hash
+# asc), then RESOLVE only the winning hashes back to pattern bytes in a
+# second scan.  A hash collision merges two patterns' counts — same
+# failure mode as the reference's maps; resolution takes the
+# lexicographically smallest colliding pattern, deterministically.
+# --------------------------------------------------------------------------
+
+def aligned_hashes(buf: np.ndarray, s: int) -> np.ndarray:
+    """64-bit hash of every aligned s-gram of ``buf`` (vectorized)."""
+    from dint_ray.util import _M, _finalize
+
+    m = len(buf) // s * s
+    if not m:
+        return np.empty(0, dtype=np.uint64)
+    w = buf[:m].reshape(-1, s).astype(np.uint64)
+    h = np.zeros(len(w), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(s):
+            h = h * _M + w[:, j]
+    return _finalize(h, s)
+
+
+def hash_counts_single(buffers):
+    """-> (sizes u8, hashes u64, freqs u64, total_integers)."""
+    total = 0
+    per_size: dict[int, list] = {s: [] for s in TARGET_SIZES}
+    for buf in buffers:
+        if not len(buf):
+            continue
+        total += len(buf)
+        for s in TARGET_SIZES:
+            h = aligned_hashes(buf, s)
+            if len(h):
+                per_size[s].append(h)
+    return (*_unique_per_key({(0, s): v for s, v in per_size.items()})[1:], total)
+
+
+def hash_counts_multi(buffers, num_selectors: int = 6):
+    """-> (ctxs u8, sizes u8, hashes u64, freqs u64, total_integers)."""
+    total = 0
+    acc: dict[tuple[int, int], list] = {}
+    for buf in buffers:
+        if not len(buf):
+            continue
+        total += len(buf)
+        nblocks = len(buf) // BLOCK_SIZE
+        if not nblocks:
+            continue
+        blocks = buf[: nblocks * BLOCK_SIZE].reshape(nblocks, BLOCK_SIZE)
+        ctxs = selector_codes(blocks.max(axis=1))
+        for ctx in np.unique(ctxs):
+            sel = np.ascontiguousarray(blocks[ctxs == ctx]).ravel()
+            for s in TARGET_SIZES:
+                h = aligned_hashes(sel, s)
+                if len(h):
+                    acc.setdefault((int(ctx), s), []).append(h)
+    return (*_unique_per_key(acc), total)
+
+
+def _unique_per_key(acc: dict[tuple[int, int], list]):
+    ctx_out, size_out, hash_out, freq_out = [], [], [], []
+    for (ctx, s), parts in sorted(acc.items()):
+        if not parts:
+            continue
+        u, c = np.unique(np.concatenate(parts), return_counts=True)
+        ctx_out.append(np.full(len(u), ctx, np.uint8))
+        size_out.append(np.full(len(u), s, np.uint8))
+        hash_out.append(u)
+        freq_out.append(c.astype(np.uint64))
+    if not hash_out:
+        e8, e64 = np.empty(0, np.uint8), np.empty(0, np.uint64)
+        return e8, e8, e64, e64
+    return (np.concatenate(ctx_out), np.concatenate(size_out),
+            np.concatenate(hash_out), np.concatenate(freq_out))
+
+
+def select_hash_winners(sizes: np.ndarray, hashes: np.ndarray,
+                        freqs: np.ndarray, total_integers: int,
+                        cfg: DintConfig = DintConfig()):
+    """Cost filter + (freq desc, size desc, hash asc) top-K -> the
+    winner (sizes, hashes, freqs) arrays.  Same saving model as
+    select_targets; hash replaces pattern-lex as the deterministic
+    tie-break (the reference's own tie-break was unordered-map order)."""
+    if not len(hashes):
+        return sizes, hashes, freqs
+    cw_bits = float(cfg.log2_num_entries)
+    initial_bpi = 3.0 * cw_bits
+    ln = sizes.astype(np.float64)
+    saving = freqs.astype(np.float64) * (initial_bpi * ln - cw_bits) \
+        / max(total_integers, 1)
+    keep = (saving > cfg.dsf_filter_threshold) | (sizes == 1)
+    s2, h2, f2 = sizes[keep], hashes[keep], freqs[keep]
+    order = np.lexsort((h2, -s2.astype(np.int64), -f2.astype(np.int64)))
+    top = order[: cfg.num_entries - RESERVED]
+    return s2[top], h2[top], f2[top]
+
+
+def resolve_patterns(buffers, wanted_by_key: dict,
+                     num_selectors: int | None = None) -> dict[int, bytes]:
+    """Scan buffers; for every still-unresolved winning hash, extract
+    its pattern bytes (min bytes under collision — deterministic).
+
+    ``wanted_by_key``: {(ctx, size): sorted u64 array}; pass
+    ``num_selectors=None`` for single-dict (ctx ignored, always 0)."""
+    # sorted probe array + found-mask per key: membership tests and
+    # already-found filtering both stay vectorized
+    probe = {k: np.sort(v) for k, v in wanted_by_key.items() if len(v)}
+    done_mask = {k: np.zeros(len(v), dtype=bool) for k, v in probe.items()}
+    open_keys = set(probe)
+    found: dict[int, bytes] = {}
+
+    def scan(key, flat_buf):
+        if key not in open_keys:
+            return
+        s = key[1]
+        m = len(flat_buf) // s * s
+        if not m:
+            return
+        w = flat_buf[:m].reshape(-1, s)
+        h = aligned_hashes(flat_buf, s)
+        u, idx = np.unique(h, return_index=True)
+        arr = probe[key]
+        mask = done_mask[key]
+        pos = np.searchsorted(arr, u)
+        pos[pos >= len(arr)] = len(arr) - 1
+        hit = np.flatnonzero((arr[pos] == u) & ~mask[pos])
+        for j in hit.tolist():
+            hv = int(u[j])
+            pat = np.ascontiguousarray(w[idx[j]].astype("<u4")).tobytes()
+            prev = found.get(hv)
+            if prev is None or pat < prev:
+                found[hv] = pat
+            mask[pos[j]] = True
+        if mask.all():
+            open_keys.discard(key)
+
+    for buf in buffers:
+        if not len(buf):
+            continue
+        if num_selectors is None:
+            for s in TARGET_SIZES:
+                scan((0, s), buf)
+        else:
+            nblocks = len(buf) // BLOCK_SIZE
+            if not nblocks:
+                continue
+            blocks = buf[: nblocks * BLOCK_SIZE].reshape(nblocks, BLOCK_SIZE)
+            ctxs = selector_codes(blocks.max(axis=1))
+            for ctx in np.unique(ctxs):
+                sel = np.ascontiguousarray(blocks[ctxs == ctx]).ravel()
+                for s in TARGET_SIZES:
+                    scan((int(ctx), s), sel)
+        if not open_keys:
+            break
+    return found
+
+
 def select_targets(counts: dict[bytes, int], total_integers: int,
                    cfg: DintConfig = DintConfig()) -> list[np.ndarray]:
     """Cost filter + (freq desc, len desc, lex asc) sort + top-K.

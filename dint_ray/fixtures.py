@@ -33,15 +33,19 @@ def generate_pages(num_docs: int, vocab_size: int = 2000, seed: int = 42,
         rng.lognormal(mean=np.log(mean_len), sigma=0.6, size=num_docs), 8, 2048
     ).astype(np.int64)
     vocab = np.array([f"t{k}" for k in range(vocab_size)])
+    # one vectorized draw for every token of every doc, then per-doc joins
+    all_ids = rng.choice(vocab_size, size=int(lens.sum()), p=probs)
+    all_toks = vocab[all_ids]
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    en_mask = rng.random(num_docs) > 0.02
     urls, htmls, texts, langs = [], [], [], []
     ts = np.empty(num_docs, dtype="datetime64[us]")
     for i in range(num_docs):
-        toks = vocab[rng.choice(vocab_size, size=lens[i], p=probs)]
-        text = " ".join(toks)
+        text = " ".join(all_toks[bounds[i]:bounds[i + 1]])
         urls.append(f"https://host{i % 97}.example/p/{i}")
         texts.append(text)
         htmls.append(b"<html><body>" + text.encode() + b"</body></html>")
-        langs.append("en" if rng.random() > 0.02 else "xx")
+        langs.append("en" if en_mask[i] else "xx")
         ts[i] = BASE_TS + np.timedelta64(i, "s")
     return pa.table({
         "url": pa.array(urls, pa.string()),

@@ -47,24 +47,59 @@ class BuiltDicts:
         return MultiDintCodec(self.docs_dict), MultiDintCodec(self.freqs_dict)
 
 
+def mine_counts_local(bufs: list[np.ndarray], multi: bool,
+                      cfg: DintConfig = DintConfig()):
+    """Hash-keyed mining over in-memory gap buffers.
+
+    -> (per-ctx {pattern_bytes: freq} list, total_integers).  Shared
+    two-phase algorithm with the Ray pipeline: count by window hash,
+    select winners, resolve winning hashes to bytes (stats.py)."""
+    nctx = cfg.num_selectors if multi else 1
+    if multi:
+        ctxs, sizes, hashes, freqs, total = st.hash_counts_multi(
+            bufs, cfg.num_selectors)
+    else:
+        sizes, hashes, freqs, total = st.hash_counts_single(bufs)
+        ctxs = np.zeros(len(sizes), dtype=np.uint8)
+    winners = {}
+    wanted: dict[tuple[int, int], list] = {}
+    for ctx in range(nctx):
+        m = ctxs == ctx
+        ws, wh, wf = st.select_hash_winners(sizes[m], hashes[m], freqs[m],
+                                            total, cfg)
+        winners[ctx] = (ws, wh, wf)
+        for s in np.unique(ws):
+            wanted.setdefault((ctx, int(s)), []).append(wh[ws == s])
+    wanted_sorted = {k: np.sort(np.concatenate(v)) for k, v in wanted.items()}
+    found = st.resolve_patterns(bufs, wanted_sorted,
+                                num_selectors=cfg.num_selectors if multi else None)
+    per_ctx = []
+    for ctx in range(nctx):
+        ws, wh, wf = winners[ctx]
+        per_ctx.append({found[int(h)]: int(f)
+                        for h, f in zip(wh, wf) if int(h) in found})
+    return per_ctx, total
+
+
 def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
                      kind: str = "single_packed",
                      cfg: DintConfig = DintConfig()) -> BuiltDicts:
     """Stats + DSF + compaction over in-memory postings (oracle path)."""
-    doc_bufs = (st.docs_gap_buffer(d) for d, _ in postings.values())
-    freq_bufs = (st.freqs_gap_buffer(f) for _, f in postings.values())
-    if kind == "single_packed":
-        dc, dtot = st.collect_single(doc_bufs)
-        fc, ftot = st.collect_single(freq_bufs)
-        docs_dict = build_packed_single(st.select_targets(dc, dtot, cfg), cfg)
-        freqs_dict = build_packed_single(st.select_targets(fc, ftot, cfg), cfg)
-    elif kind == "multi_packed":
-        dms, dtot = st.collect_multi(doc_bufs, cfg.num_selectors)
-        fms, ftot = st.collect_multi(freq_bufs, cfg.num_selectors)
-        docs_dict = build_packed_multi(st.select_targets_multi(dms, dtot, cfg), cfg)
-        freqs_dict = build_packed_multi(st.select_targets_multi(fms, ftot, cfg), cfg)
-    else:
+    doc_bufs = [st.docs_gap_buffer(d) for d, _ in postings.values()]
+    freq_bufs = [st.freqs_gap_buffer(f) for _, f in postings.values()]
+    multi = kind == "multi_packed"
+    if kind not in ("single_packed", "multi_packed"):
         raise ValueError(f"unknown dict kind {kind!r}")
+    dcs, dtot = mine_counts_local(doc_bufs, multi, cfg)
+    fcs, ftot = mine_counts_local(freq_bufs, multi, cfg)
+    if multi:
+        docs_dict = build_packed_multi(
+            [st.select_targets(c, dtot, cfg) for c in dcs], cfg)
+        freqs_dict = build_packed_multi(
+            [st.select_targets(c, ftot, cfg) for c in fcs], cfg)
+    else:
+        docs_dict = build_packed_single(st.select_targets(dcs[0], dtot, cfg), cfg)
+        freqs_dict = build_packed_single(st.select_targets(fcs[0], ftot, cfg), cfg)
     return BuiltDicts(kind=kind, docs_dict=docs_dict, freqs_dict=freqs_dict)
 
 

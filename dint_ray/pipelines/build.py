@@ -43,6 +43,7 @@ from dint_ray.index.layout import write_posting_list
 from dint_ray.index.shards import write_manifest, write_shard
 from dint_ray.postings import (
     Vocabulary,
+    _shuffle_width,
     build_posting_lists,
     build_vocabulary,
     doc_sizes,
@@ -61,85 +62,237 @@ def _mark_done(path: str) -> None:
         f.write("ok")
 
 
-def collect_stats_batch(batch: pa.Table, *, kind: str) -> pa.Table:
-    """Map-side combine for gap-pattern stats: one batch of posting-list
-    rows -> (stream, ctx, pattern, freq) partial-count rows for BOTH the
-    docs-gap and freqs streams in a single pass (SURVEY.md D1/D2).
-    Stateless on purpose — runs as a task pool, no actor startup."""
+def _gap_buffers(batch: pa.Table, stream: str) -> list:
     from dint_ray.util import list_views
 
+    gap = st.docs_gap_buffer if stream == "docs" else st.freqs_gap_buffer
+    return [gap(np.asarray(v, dtype=np.uint32))
+            for v in list_views(batch.column(stream))]
+
+
+def collect_stats_batch(batch: pa.Table, *, kind: str) -> pa.Table:
+    """Map-side combine for gap-pattern stats: one batch of posting-list
+    rows -> (stream, ctx, size, hash, freq) partial-count rows for BOTH
+    the docs-gap and freqs streams in one pass (SURVEY.md D1/D2).
+
+    Hash-keyed (stats.py): counting never touches pattern bytes, so the
+    combine is pure numpy and the shuffle moves only fixed-width ints.
+    Stateless on purpose — runs as a task pool, no actor startup."""
     multi = kind == "multi_packed"
-    streams, pats, ctxs, freqs, totals = [], [], [], [], []
-    for stream in ("docs", "freqs"):
-        views = list_views(batch.column(stream))
-        gap = st.docs_gap_buffer if stream == "docs" else st.freqs_gap_buffer
-        bufs = [gap(np.asarray(v, dtype=np.uint32)) for v in views]
+    cols = {"stream": [], "ctx": [], "size": [], "hash": [], "freq": [],
+            "total_ints": []}
+    for si, stream in enumerate(("docs", "freqs")):
+        bufs = _gap_buffers(batch, stream)
         if multi:
-            maps, total = st.collect_multi(bufs)
+            ctxs, sizes, hashes, freqs, total = st.hash_counts_multi(bufs)
         else:
-            counts, total = st.collect_single(bufs)
-            maps = [counts]
-        first = True
-        for ctx, m in enumerate(maps):
-            pats.extend(m.keys())
-            freqs.extend(m.values())
-            ctxs.extend([ctx] * len(m))
-            streams.extend([stream] * len(m))
-            # one totals carrier row per (batch, stream)
-            if m:
-                totals.extend([total if first else 0] + [0] * (len(m) - 1))
-                first = False
+            sizes, hashes, freqs, total = st.hash_counts_single(bufs)
+            ctxs = np.zeros(len(sizes), dtype=np.uint8)
+        if not len(hashes):
+            if total:
+                ctxs = np.zeros(1, np.uint8)
+                sizes = np.zeros(1, np.uint8)  # size 0 -> dropped at select
+                hashes = np.zeros(1, np.uint64)
+                freqs = np.zeros(1, np.uint64)
+            else:
+                continue
+        totals = np.zeros(len(hashes), dtype=np.uint64)
+        totals[0] = total
+        cols["stream"].append(np.full(len(hashes), si, np.uint8))
+        cols["ctx"].append(ctxs)
+        cols["size"].append(sizes)
+        cols["hash"].append(hashes.view(np.int64))
+        cols["freq"].append(freqs)
+        cols["total_ints"].append(totals)
+    if not cols["hash"]:
+        return pa.table({
+            "stream": pa.array([], pa.uint8()), "ctx": pa.array([], pa.uint8()),
+            "size": pa.array([], pa.uint8()), "hash": pa.array([], pa.int64()),
+            "freq": pa.array([], pa.uint64()),
+            "total_ints": pa.array([], pa.uint64()),
+        })
     return pa.table({
-        "stream": pa.array(streams, pa.string()),
-        "ctx": pa.array(ctxs, pa.uint8()),
-        "pattern": pa.array(pats, pa.binary()),
-        "freq": pa.array(np.asarray(freqs, dtype=np.uint64), pa.uint64()),
-        "total_ints": pa.array(np.asarray(totals, dtype=np.uint64),
-                               pa.uint64()),
+        "stream": pa.array(np.concatenate(cols["stream"]), pa.uint8()),
+        "ctx": pa.array(np.concatenate(cols["ctx"]), pa.uint8()),
+        "size": pa.array(np.concatenate(cols["size"]), pa.uint8()),
+        "hash": pa.array(np.concatenate(cols["hash"]), pa.int64()),
+        "freq": pa.array(np.concatenate(cols["freq"]), pa.uint64()),
+        "total_ints": pa.array(np.concatenate(cols["total_ints"]), pa.uint64()),
     })
 
 
-def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str):
-    """Distributed D1/D2 for both streams in ONE pass + ONE shuffle:
-    per-batch combine -> groupby((stream, ctx, pattern)).sum.
+class ResolvePatterns:
+    """Actor stage: scan posting lists, emit pattern bytes for winning
+    hashes found in this batch (stats.py resolve_patterns)."""
 
-    The head keys (zero runs) are collapsed to <= 1 row per batch by the
-    combine, so the shuffle sees no skew (SURVEY.md §4 skew row)."""
+    def __init__(self, wanted_ref, multi: bool, num_selectors: int) -> None:
+        import ray
+
+        self.wanted = ray.get(wanted_ref)  # {stream_idx: {(ctx,size): sorted u64}}
+        self.multi = multi
+        self.num_selectors = num_selectors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_stream, out_hash, out_pat = [], [], []
+        for si, stream in enumerate(("docs", "freqs")):
+            wanted = self.wanted.get(si)
+            if not wanted:
+                continue
+            bufs = _gap_buffers(batch, stream)
+            found = st.resolve_patterns(
+                bufs, wanted,
+                num_selectors=self.num_selectors if self.multi else None)
+            for h, pat in found.items():
+                out_stream.append(si)
+                out_hash.append(h - (1 << 64) if h >= (1 << 63) else h)
+                out_pat.append(pat)
+        return pa.table({
+            "stream": pa.array(out_stream, pa.uint8()),
+            "hash": pa.array(out_hash, pa.int64()),
+            "pattern": pa.array(out_pat, pa.binary()),
+        })
+
+
+def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
+                   cfg: DintConfig = DintConfig()):
+    """Distributed D1/D2 for both streams: ONE hash-count pass + ONE
+    exchange, winner selection on the driver, then ONE resolution pass
+    mapping winning hashes back to pattern bytes.
+
+    Head keys (zero runs) are collapsed to <= 1 row per batch by the
+    map-side combine, so the exchange sees no skew (SURVEY.md §4); keys
+    are fixed-width ints, never pattern bytes."""
     import ray
     from ray.data.aggregate import Sum
 
     if os.path.exists(docs_path) and os.path.exists(freqs_path):
         return pq.read_table(docs_path), pq.read_table(freqs_path)
+    postings_ds = postings_ds.materialize()  # consumed twice (count + resolve)
     partial = postings_ds.map_batches(
         collect_stats_batch, fn_kwargs={"kind": kind},
-        batch_format="pyarrow", batch_size=256, num_cpus=1,
-    ).materialize()  # consumed twice (pattern agg + totals); partials are small
+        batch_format="pyarrow", batch_size=None, num_cpus=1,
+    ).materialize()
+    multi = kind == "multi_packed"
+    nctx = cfg.num_selectors if multi else 1
     nrows = partial.count()
+
+    # global totals first (the cost filter needs them before selection)
+    tot_tab = pa.concat_tables(
+        [t for t in ray.get(partial.select_columns(["stream", "total_ints"])
+                            .to_arrow_refs()) if t is not None])
+    tot_pd = tot_tab.to_pandas().groupby("stream")["total_ints"].sum()
+    totals = {int(k): int(v) for k, v in tot_pd.items()}
+
     if nrows <= 2_000_000:
-        # small enough for one C++ group_by on the driver: a Ray
-        # sort-shuffle here is all fixed cost (the map-side combine
-        # already collapsed the head keys)
+        # pandas C-path groupby on the driver: below this size a Ray
+        # exchange is all fixed cost
         pt = pa.concat_tables(
             [t for t in ray.get(partial.to_arrow_refs()) if t is not None])
-        table = pt.group_by(["stream", "ctx", "pattern"]).aggregate(
-            [("freq", "sum")]).rename_columns(["stream", "ctx", "pattern", "freq"])
-        tot = pt.group_by("stream").aggregate([("total_ints", "sum")])
-        totals = {s.as_py(): int(v.as_py()) for s, v in
-                  zip(tot.column("stream"), tot.column("total_ints_sum"))}
+        agg = (pt.to_pandas()
+               .groupby(["stream", "ctx", "size", "hash"], sort=False,
+                        as_index=False)["freq"].sum())
     else:
-        agg = partial.groupby(["stream", "ctx", "pattern"]).aggregate(
-            Sum("freq", alias_name="freq"))
-        totals = {r["stream"]: int(r["total"]) for r in
-                  partial.groupby("stream").aggregate(
-                      Sum("total_ints", alias_name="total")).take_all()}
-        table = pa.concat_tables(
-            [t for t in ray.get(agg.to_arrow_refs()) if t is not None])
+        # distributed: hash-partition by hash value (all 4 group keys
+        # are functions of rows sharing a hash), pyarrow group_by + a
+        # per-partition winner pre-selection inside each partition, so
+        # only candidate rows reach the driver.  Built from repartition
+        # + map_batches — Ray's aggregate operator is a Python-loop
+        # reducer and orders of magnitude slower here.
+        def agg_block(batch: pa.Table, *, totals, cfg, nctx) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            g = (batch.select(["stream", "ctx", "size", "hash", "freq"])
+                 .group_by(["stream", "ctx", "size", "hash"])
+                 .aggregate([("freq", "sum")])
+                 .rename_columns(["stream", "ctx", "size", "hash", "freq"]))
+            streams = g.column("stream").to_numpy()
+            ctxs = g.column("ctx").to_numpy()
+            sizes = g.column("size").to_numpy().astype(np.uint8)
+            hashes = g.column("hash").to_numpy().view(np.uint64)
+            freqs = g.column("freq").to_numpy().astype(np.uint64)
+            keep_idx = []
+            idx = np.arange(len(g))
+            for si in (0, 1):
+                for ctx in range(nctx):
+                    m = (streams == si) & (ctxs == ctx) & (sizes > 0)
+                    if not m.any():
+                        continue
+                    ws, wh, wf = st.select_hash_winners(
+                        sizes[m], hashes[m], freqs[m],
+                        int(totals.get(si, 0)), cfg)
+                    sub = idx[m]
+                    # exact winner rows: match on (hash, size) pairs
+                    pair = hashes[m].astype(np.uint64) ^ (sizes[m].astype(np.uint64) << np.uint64(56))
+                    wpair = wh.astype(np.uint64) ^ (ws.astype(np.uint64) << np.uint64(56))
+                    keep_idx.append(sub[np.isin(pair, wpair)])
+            if not keep_idx:
+                return g.slice(0, 0)
+            return g.take(np.sort(np.concatenate(keep_idx)))
+
+        width = _shuffle_width()
+        cand = partial.repartition(width, keys=["hash"], sort=False).map_batches(
+            agg_block, fn_kwargs={"totals": totals, "cfg": cfg, "nctx": nctx},
+            batch_format="pyarrow", batch_size=None, num_cpus=1)
+        agg = pa.concat_tables(
+            [t for t in ray.get(cand.to_arrow_refs())
+             if t is not None and t.num_rows],
+            promote_options="default").to_pandas()
+
+    winners: dict[int, dict[int, tuple]] = {}   # stream -> ctx -> (ws, wh, wf)
+    wanted: dict[int, dict[tuple[int, int], np.ndarray]] = {}
+    for si in (0, 1):
+        sdf = agg[(agg["stream"] == si) & (agg["size"] > 0)]
+        total = int(totals.get(si, 0))
+        winners[si] = {}
+        wmap: dict[tuple[int, int], list] = {}
+        for ctx in range(nctx):
+            cdf = sdf[sdf["ctx"] == ctx]
+            ws, wh, wf = st.select_hash_winners(
+                cdf["size"].to_numpy().astype(np.uint8),
+                cdf["hash"].to_numpy().view(np.uint64),
+                cdf["freq"].to_numpy().astype(np.uint64), total, cfg)
+            winners[si][ctx] = (ws, wh, wf)
+            for s in np.unique(ws):
+                wmap.setdefault((ctx, int(s)), []).append(wh[ws == s])
+        wanted[si] = {k: np.sort(np.concatenate(v)) for k, v in wmap.items()}
+
+    wanted_ref = ray.put(wanted)
+    res = postings_ds.map_batches(
+        ResolvePatterns,
+        fn_constructor_kwargs={"wanted_ref": wanted_ref, "multi": multi,
+                               "num_selectors": cfg.num_selectors},
+        batch_format="pyarrow", batch_size=None, num_cpus=1,
+        concurrency=(1, _shuffle_width()),
+    )
+    rt = pa.concat_tables([t for t in ray.get(res.to_arrow_refs()) if t is not None])
+    resolved: dict[int, dict[int, bytes]] = {0: {}, 1: {}}
+    for si, h, pat in zip(rt.column("stream").to_numpy(),
+                          rt.column("hash").to_numpy(),
+                          rt.column("pattern").to_pylist()):
+        d = resolved[int(si)]
+        hv = int(h) + (1 << 64) if int(h) < 0 else int(h)
+        prev = d.get(hv)
+        if prev is None or pat < prev:
+            d[hv] = pat
+
     out = []
-    for stream, path in (("docs", docs_path), ("freqs", freqs_path)):
-        mask = pa.compute.equal(table.column("stream"), stream)
-        t = table.filter(mask).drop_columns(["stream"])
-        t = t.append_column("total_ints_global",
-                            pa.array([totals.get(stream, 0)] * len(t), pa.uint64()))
+    for si, path in ((0, docs_path), (1, freqs_path)):
+        ctx_col, pat_col, freq_col = [], [], []
+        for ctx in range(nctx):
+            ws, wh, wf = winners[si][ctx]
+            for h, f in zip(wh, wf):
+                pat = resolved[si].get(int(h))
+                if pat is not None:
+                    ctx_col.append(ctx)
+                    pat_col.append(pat)
+                    freq_col.append(int(f))
+        t = pa.table({
+            "ctx": pa.array(ctx_col, pa.uint8()),
+            "pattern": pa.array(pat_col, pa.binary()),
+            "freq": pa.array(np.asarray(freq_col, dtype=np.uint64), pa.uint64()),
+            "total_ints_global": pa.array(
+                [int(totals.get(si, 0))] * len(ctx_col), pa.uint64()),
+        })
         tmp = path + ".tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
@@ -208,6 +361,9 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     import ray
     import ray.data as rd
 
+    import dint_ray
+
+    dint_ray.tune_for_cluster()
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -272,7 +428,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     stats_docs, stats_freqs = mine_stats_ray(
         lists_ds, kind,
         os.path.join(out_dir, "stats_docs.parquet"),
-        os.path.join(out_dir, "stats_freqs.parquet"))
+        os.path.join(out_dir, "stats_freqs.parquet"), cfg)
     t = _tick("pattern_stats", t)
 
     # --- stage 6: dictionaries (driver; stats are tiny) ---
@@ -298,7 +454,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         fn_constructor_kwargs={"dicts_ref": dicts_ref, "norm_lens_ref": norms_ref},
         batch_format="pyarrow",
         batch_size=bcfg.encode_batch_size,
-        concurrency=(1, bcfg.encode_concurrency),
+        concurrency=(1, bcfg.pool_size(bcfg.encode_concurrency)),
         num_cpus=1,
     )
 

@@ -86,7 +86,7 @@ def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = 
         fn_constructor_kwargs={"from_html": from_html},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=(1, cfg.tokenize_concurrency),
+        concurrency=(1, cfg.pool_size(cfg.tokenize_concurrency)),
         num_cpus=1,
     )
 
@@ -109,7 +109,8 @@ def build_vocabulary(rows_ds) -> Vocabulary:
     import ray
     from ray.data.aggregate import Sum
 
-    partial = rows_ds.map_batches(_partial_df, batch_format="pyarrow").materialize()
+    partial = rows_ds.map_batches(_partial_df, batch_format="pyarrow",
+                              batch_size=None).materialize()
     if partial.count() <= 2_000_000:
         # per-batch combine already shrank the data to ~one row per
         # (term, batch): finish with one C++ group_by on the driver
@@ -161,42 +162,88 @@ class AssignTermId:
         })
 
 
-def _bucket_lists(group: pa.Table) -> pa.Table:
-    """One (term_id, bucket) group -> one row with sorted doc/freq lists."""
-    doc = group.column("doc_id").to_numpy(zero_copy_only=False)
-    tf = group.column("tf").to_numpy(zero_copy_only=False)
-    order = np.argsort(doc, kind="stable")
-    return pa.table({
-        "term_id": group.column("term_id").slice(0, 1),
-        "bucket": group.column("bucket").slice(0, 1),
-        "docs": pa.array([doc[order].astype(np.uint32)], pa.list_(pa.uint32())),
-        "freqs": pa.array([tf[order].astype(np.uint32)], pa.list_(pa.uint32())),
-    })
+def _lists_by_key(sort_keys: list[np.ndarray], payload: dict[str, np.ndarray],
+                  key_cols: dict[str, np.ndarray]) -> pa.Table:
+    """Vectorized rows -> list-rows: lexsort, find key-change boundaries,
+    build ListArrays straight from offsets.  No per-group Python."""
+    n = len(sort_keys[0])
+    if n == 0:
+        cols = {name: pa.array([], pa.uint32()) for name in key_cols}
+        cols.update({name: pa.array([], pa.list_(pa.uint32())) for name in payload})
+        return pa.table(cols)
+    order = np.lexsort(sort_keys[::-1])  # first key = primary
+    keys_sorted = [k[order] for k in sort_keys[:-1]]  # all but doc sort key
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys_sorted:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, n).astype(np.int32)
+    cols: dict[str, pa.Array] = {}
+    for name, arr in key_cols.items():
+        cols[name] = pa.array(arr[order][starts].astype(np.uint32), pa.uint32())
+    for name, arr in payload.items():
+        values = pa.array(arr[order].astype(np.uint32), pa.uint32())
+        cols[name] = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+    return pa.table(cols)
 
 
-def _merge_buckets(group: pa.Table) -> pa.Table:
-    """One term_id group of bucket runs -> final posting list row.
+def _runs_from_block(batch: pa.Table) -> pa.Table:
+    """One hash partition of keyed rows -> per-(term_id, bucket) sorted
+    run rows.  A group split across blocks just yields extra runs — the
+    merge phase re-establishes global docID order per term."""
+    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    return _lists_by_key([term, bucket, doc], {"docs": doc, "freqs": tf},
+                         {"term_id": term, "bucket": bucket})
 
-    Buckets are disjoint ascending doc_id ranges, so ordered
-    concatenation preserves the sorted-docID invariant (§2.8 O4)."""
-    buckets = group.column("bucket").to_numpy(zero_copy_only=False)
-    order = np.argsort(buckets, kind="stable")
-    docs_col = group.column("docs")
-    freqs_col = group.column("freqs")
-    docs = np.concatenate([np.asarray(docs_col[int(i)].as_py(), dtype=np.uint32) for i in order])
-    freqs = np.concatenate([np.asarray(freqs_col[int(i)].as_py(), dtype=np.uint32) for i in order])
-    return pa.table({
-        "term_id": group.column("term_id").slice(0, 1),
-        "docs": pa.array([docs], pa.list_(pa.uint32())),
-        "freqs": pa.array([freqs], pa.list_(pa.uint32())),
-    })
+
+def _merge_runs_block(batch: pa.Table) -> pa.Table:
+    """One hash partition of run rows -> final posting-list rows: flatten
+    all runs, lexsort (term, doc), slice terms via offsets (§2.8 O4)."""
+    from dint_ray.util import list_views
+
+    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_views = list_views(batch.column("docs"))
+    freqs_views = list_views(batch.column("freqs"))
+    lens = np.asarray([len(v) for v in docs_views], dtype=np.int64)
+    if not len(term) or lens.sum() == 0:
+        return pa.table({
+            "term_id": pa.array([], pa.uint32()),
+            "docs": pa.array([], pa.list_(pa.uint32())),
+            "freqs": pa.array([], pa.list_(pa.uint32())),
+        })
+    term_flat = np.repeat(term, lens)
+    docs_flat = np.concatenate(docs_views).astype(np.int64)
+    freqs_flat = np.concatenate(freqs_views).astype(np.int64)
+    return _lists_by_key([term_flat, docs_flat],
+                         {"docs": docs_flat, "freqs": freqs_flat},
+                         {"term_id": term_flat})
+
+
+def _use_hash_shuffle() -> None:
+    """Key-based repartition needs the hash-shuffle strategy; it is also
+    the right engine for all of this pipeline's aggregations."""
+    import ray.data as rd
+    from ray.data.context import ShuffleStrategy
+
+    rd.DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
 
 def build_posting_lists(rows_ds, vocab: Vocabulary,
                         cfg: BuildConfig = BuildConfig()):
-    """(doc_id, term, tf) rows -> (term_id, docs, freqs) Dataset."""
+    """(doc_id, term, tf) rows -> (term_id, docs, freqs) Dataset.
+
+    Two hash exchanges, both with vectorized per-partition kernels:
+    (term_id, bucket) -> sorted runs (salting keeps any head term off a
+    single task), then term_id -> flatten + lexsort merge.  The merge
+    re-sorts rather than assuming disjoint bucket ranges so that groups
+    split across partition blocks stay correct."""
     import ray
 
+    _use_hash_shuffle()
     vocab_ref = ray.put(vocab)
     keyed = rows_ds.map_batches(
         AssignTermId,
@@ -206,13 +253,16 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
             "salt_bucket_docs": cfg.salt_bucket_docs,
         },
         batch_format="pyarrow",
-        concurrency=(1, cfg.tokenize_concurrency),
+        concurrency=(1, cfg.pool_size(cfg.tokenize_concurrency)),
         num_cpus=1,
     )
-    runs = _coalesce(keyed).groupby(["term_id", "bucket"]).map_groups(
-        _bucket_lists, batch_format="pyarrow"
-    )
-    return runs.groupby("term_id").map_groups(_merge_buckets, batch_format="pyarrow")
+    width = _shuffle_width()
+    runs = keyed.repartition(width, keys=["term_id", "bucket"], sort=True) \
+                .map_batches(_runs_from_block, batch_format="pyarrow",
+                             batch_size=None)
+    return runs.repartition(width, keys=["term_id"], sort=True) \
+               .map_batches(_merge_runs_block, batch_format="pyarrow",
+                            batch_size=None)
 
 
 def _partial_sizes(batch: pa.Table) -> pa.Table:
@@ -226,7 +276,8 @@ def doc_sizes(rows_ds):
     """(doc_id, len) Dataset; len = sum of tfs = token count."""
     from ray.data.aggregate import Sum
 
-    partial = _coalesce(rows_ds.map_batches(_partial_sizes, batch_format="pyarrow"))
+    partial = _coalesce(rows_ds.map_batches(_partial_sizes, batch_format="pyarrow",
+                                        batch_size=None))
     return partial.groupby("doc_id").aggregate(Sum("len_part", alias_name="len"))
 
 
