@@ -125,48 +125,117 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+SCALING_DOCS = 200_000
+SCALING_VOCAB = 30_000
+SCALING_QUERIES = 20_000
+SCALING_DIR = "/tmp/dint_ray_scaling"
+
+
+def _scaling_fixture() -> str:
+    """Deterministic 200k-doc Zipf web-page corpus (no external data);
+    small row groups so the read parallelizes."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(SCALING_DIR, exist_ok=True)
+    path = os.path.join(SCALING_DIR, f"pages_{SCALING_DOCS}.parquet")
+    if not os.path.exists(path):
+        from dint_ray.fixtures import generate_pages
+
+        t = generate_pages(SCALING_DOCS, vocab_size=SCALING_VOCAB, seed=11)
+        pq.write_table(t, path + ".tmp", row_group_size=4096)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def run_scaling_inner(cpus: int) -> dict:
+    """One parallelism level: fresh build + warmed serving throughput."""
+    import time as _t
+
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False)
+    from dint_ray.fixtures import generate_queries
+    from dint_ray.pipelines.build import build_index_ray
+    from dint_ray.pipelines.serve import queries_to_dataset, run_queries_ray
+
+    pages = _scaling_fixture()
+    out_dir = os.path.join(SCALING_DIR, f"build_{cpus}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = _t.time()
+    manifest = build_index_ray(pages, out_dir)
+    build_sec = _t.time() - t0
+
+    qlog = generate_queries(SCALING_QUERIES, manifest["num_terms"])
+    qds = queries_to_dataset(qlog)
+    # untimed warmup pass (the reference's pass 0, queries.cpp:104-111):
+    # builds + broadcasts the shared scored index
+    run_queries_ray(qds.limit(64), out_dir, algo="wand", k=K,
+                    concurrency=cpus).count()
+    serve = {}
+    for algo, bs in (("wand", 32), ("ranked_or_fast", 128)):
+        t0 = _t.time()
+        run_queries_ray(qds, out_dir, algo=algo, k=K, concurrency=cpus,
+                        batch_size=bs).count()
+        serve[algo] = round(SCALING_QUERIES / (_t.time() - t0), 1)
+    ray.shutdown()
+    return {
+        "num_cpus": cpus,
+        "num_docs": SCALING_DOCS,
+        "build_sec": round(build_sec, 1),
+        "build_docs_per_sec": round(SCALING_DOCS / build_sec, 1),
+        "wand_queries_per_sec": serve["wand"],
+        "fast_queries_per_sec": serve["ranked_or_fast"],
+        "stage_secs": manifest.get("stage_secs", {}),
+    }
+
+
 def run_scaling() -> dict:
     """Same job at two parallelism levels in fresh processes (the
     sandbox stand-in for N- vs 4N-node clusters, BASELINE.md)."""
+    _scaling_fixture()
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            env=env, capture_output=True, text=True, timeout=1800)
+            [sys.executable, os.path.abspath(__file__), "--scale-inner",
+             str(cpus)],
+            env=dict(os.environ), capture_output=True, text=True, timeout=1800)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
     r8, r32 = results[8], results[32]
 
     def eff(key):
-        thr8 = r8[key]
-        thr32 = r32[key]
-        return round((thr32 / thr8) / (32 / 8), 3)
+        return round((r32[key] / r8[key]) / (32 / 8), 3)
 
-    report = {
+    return {
         "metric": "scaling efficiency 8->32 cpus (throughput ratio / cpu ratio)",
-        "value": eff("build_docs_per_sec"),
+        "value": eff("wand_queries_per_sec"),
         "unit": "efficiency",
-        "sf": SF_DIR,
+        "corpus": f"{SCALING_DOCS} synthetic web pages, vocab {SCALING_VOCAB}",
         "build_docs_per_sec": {"8": r8["build_docs_per_sec"],
                                "32": r32["build_docs_per_sec"]},
-        "queries_per_sec": {"8": r8["queries_per_sec"],
-                            "32": r32["queries_per_sec"]},
+        "wand_queries_per_sec": {"8": r8["wand_queries_per_sec"],
+                                 "32": r32["wand_queries_per_sec"]},
+        "fast_queries_per_sec": {"8": r8["fast_queries_per_sec"],
+                                 "32": r32["fast_queries_per_sec"]},
         "build_efficiency": eff("build_docs_per_sec"),
-        "serve_efficiency": eff("queries_per_sec"),
+        "wand_serve_efficiency": eff("wand_queries_per_sec"),
+        "fast_serve_efficiency": eff("fast_queries_per_sec"),
         "runs": {"8": r8, "32": r32},
     }
-    return report
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--inner", action="store_true")
+    ap.add_argument("--scale-inner", type=int, default=0)
     args = ap.parse_args()
 
     if args.scaling:
         print(json.dumps(run_scaling()))
+        return
+    if args.scale_inner:
+        print(json.dumps(run_scaling_inner(args.scale_inner)))
         return
 
     import ray

@@ -179,7 +179,8 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
     # global totals first (the cost filter needs them before selection)
     tot_tab = pa.concat_tables(
         [t for t in ray.get(partial.select_columns(["stream", "total_ints"])
-                            .to_arrow_refs()) if t is not None])
+                            .to_arrow_refs()) if t is not None and t.num_rows],
+        promote_options="default")
     tot_pd = tot_tab.to_pandas().groupby("stream")["total_ints"].sum()
     totals = {int(k): int(v) for k, v in tot_pd.items()}
 
@@ -187,7 +188,8 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         # pandas C-path groupby on the driver: below this size a Ray
         # exchange is all fixed cost
         pt = pa.concat_tables(
-            [t for t in ray.get(partial.to_arrow_refs()) if t is not None])
+            [t for t in ray.get(partial.to_arrow_refs())
+             if t is not None and t.num_rows], promote_options="default")
         agg = (pt.to_pandas()
                .groupby(["stream", "ctx", "size", "hash"], sort=False,
                         as_index=False)["freq"].sum())
@@ -264,7 +266,12 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         batch_format="pyarrow", batch_size=None, num_cpus=1,
         concurrency=(1, _shuffle_width()),
     )
-    rt = pa.concat_tables([t for t in ray.get(res.to_arrow_refs()) if t is not None])
+    rtabs = [t for t in ray.get(res.to_arrow_refs())
+             if t is not None and t.num_rows]
+    rt = pa.concat_tables(rtabs, promote_options="default") if rtabs else \
+        pa.table({"stream": pa.array([], pa.uint8()),
+                  "hash": pa.array([], pa.int64()),
+                  "pattern": pa.array([], pa.binary())})
     resolved: dict[int, dict[int, bytes]] = {0: {}, 1: {}}
     for si, h, pat in zip(rt.column("stream").to_numpy(),
                           rt.column("hash").to_numpy(),

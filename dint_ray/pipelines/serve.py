@@ -13,12 +13,218 @@ per-shard top-k exactly (§2.8 O1).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
 
 ALGOS = ("ranked_or", "ranked_or_fast", "ranked_and", "wand", "maxscore",
          "and", "or")
+
+
+class _ArrayEnumerator:
+    """DocumentEnumerator-compatible cursor over a decoded docs array."""
+
+    __slots__ = ("docs", "freqs", "universe", "pos", "n")
+
+    def __init__(self, docs, freqs, universe):
+        self.docs = docs
+        self.freqs = freqs
+        self.universe = universe
+        self.pos = 0
+        self.n = len(docs)
+
+    @property
+    def size(self):
+        return self.n
+
+    def docid(self):
+        p = self.pos
+        return int(self.docs[p]) if p < self.n else self.universe
+
+    def freq(self):
+        return int(self.freqs[self.pos])
+
+    def next(self):
+        self.pos += 1
+
+    def next_geq(self, lb):
+        p = self.pos
+        if p < self.n and self.docs[p] < lb:
+            self.pos = p + int(np.searchsorted(self.docs[p:], lb, side="left"))
+
+    def move(self, position):
+        self.pos = position
+
+
+class SharedScoredIndex:
+    """Decoded, pre-scored index as flat numpy arrays.
+
+    Built ONCE (distributed decode over shards) and shipped to every
+    scorer actor via the object store — numpy members are zero-copy on
+    ray.get, so N actors share one physical copy instead of each
+    decoding + scoring the whole index in its own heap (that per-actor
+    warmup made serving throughput FLAT in actor count).  The decode
+    path itself stays exercised by the build's verify stage and the
+    roundtrip conformance entries."""
+
+    def __init__(self, num_docs, starts, ends, docs_vals, freqs_vals,
+                 w32_vals) -> None:
+        self.num_docs = num_docs
+        self.starts = starts          # int64 per term_id, -1 = absent
+        self.ends = ends
+        self.docs_vals = docs_vals
+        self.freqs_vals = freqs_vals
+        self.w32_vals = w32_vals      # float32 doc-term weights (dtw)
+        self._dtw64: dict[int, np.ndarray] = {}
+        self._norms64 = None
+
+    def __contains__(self, term_id: int) -> bool:
+        return 0 <= term_id < len(self.starts) and self.starts[term_id] >= 0
+
+    def _span(self, term_id: int):
+        return int(self.starts[term_id]), int(self.ends[term_id])
+
+    def cached_decode(self, term_id: int):
+        a, b = self._span(term_id)
+        return self.docs_vals[a:b], self.freqs_vals[a:b]
+
+    decode = cached_decode
+
+    def size(self, term_id: int) -> int:
+        a, b = self._span(term_id)
+        return b - a
+
+    def doc_term_weights(self, term_id: int, norms, dtype):
+        a, b = self._span(term_id)
+        if dtype is np.float32:
+            return self.w32_vals[a:b]
+        w = self._dtw64.get(term_id)
+        if w is None:
+            from dint_ray.scoring import doc_term_weight
+
+            docs, freqs = self.cached_decode(term_id)
+            w = doc_term_weight(freqs, norms[docs], dtype)
+            self._dtw64[term_id] = w
+        return w
+
+    def enumerator(self, term_id: int) -> _ArrayEnumerator:
+        docs, freqs = self.cached_decode(term_id)
+        return _ArrayEnumerator(docs, freqs, self.num_docs)
+
+
+_SHARED_CACHE: dict[str, tuple] = {}
+_REF_CACHE: dict[str, object] = {}
+
+
+def build_shared_index(index_dir: str):
+    """(SharedScoredIndex, WandData, manifest): distributed decode of
+    all shards + per-posting float32 BM25 weights, one pass.
+
+    Cached per index_dir in the driver process — the reference's
+    warmup pass (queries.cpp:74-83) amortized the same way."""
+    key = os.path.abspath(index_dir)
+    if key in _SHARED_CACHE:
+        return _SHARED_CACHE[key]
+    out = _build_shared_index(index_dir)
+    _SHARED_CACHE[key] = out
+    return out
+
+
+def _build_shared_index(index_dir: str):
+    import glob
+    import json
+
+    import ray
+    import ray.data as rd
+
+    from dint_ray.dint.dictionary import load as load_dict
+    from dint_ray.index.build import BuiltDicts
+    from dint_ray.index.layout import PostingListView
+    from dint_ray.scoring import WandData, doc_term_weight
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    kind = manifest["dict_kind"]
+    dict_path = os.path.join(index_dir, f"dicts_{kind}.npz")
+
+    import pyarrow.parquet as pq
+
+    sz = pq.read_table(os.path.join(index_dir, "sizes.parquet"))
+    sizes = np.zeros(manifest["num_docs"], dtype=np.uint32)
+    sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = sz.column("len").to_numpy()
+    avg = np.float32(float(np.asarray(sizes, dtype=np.float64).sum())
+                     / manifest["num_docs"])
+    norm_lens = (sizes.astype(np.float32) / avg).astype(np.float32)
+    norms_ref = ray.put(norm_lens)
+
+    class DecodeShard:
+        def __init__(self):
+            dicts = BuiltDicts(
+                kind=kind,
+                docs_dict=load_dict(dict_path + ".docs.npz"),
+                freqs_dict=load_dict(dict_path + ".freqs.npz"))
+            self.docs_codec, self.freqs_codec = dicts.codecs()
+            self.norms = ray.get(norms_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tids = batch.column("term_id").to_numpy()
+            payloads = batch.column("payload").to_pylist()
+            t_out, d_out, f_out, w_out = [], [], [], []
+            for tid, pl in zip(tids, payloads):
+                v = PostingListView(pl, self.docs_codec, self.freqs_codec)
+                docs, freqs = v.decode_all()
+                t_out.append(np.full(len(docs), tid, np.uint32))
+                d_out.append(docs)
+                f_out.append(freqs)
+                w_out.append(doc_term_weight(freqs, self.norms[docs]))
+            e32 = np.empty(0, np.uint32)
+            return pa.table({
+                "term_id": pa.array(np.concatenate(t_out) if t_out else e32, pa.uint32()),
+                "doc_id": pa.array(np.concatenate(d_out) if d_out else e32, pa.uint32()),
+                "tf": pa.array(np.concatenate(f_out) if f_out else e32, pa.uint32()),
+                "w32": pa.array(np.concatenate(w_out) if w_out else
+                                np.empty(0, np.float32), pa.float32()),
+            })
+
+    shard_files = sorted(glob.glob(os.path.join(index_dir, "shard-*.parquet")))
+    flat = rd.read_parquet(shard_files).map_batches(
+        DecodeShard, batch_format="pyarrow", batch_size=None,
+        concurrency=(1, max(4, len(shard_files) // 2)), num_cpus=1)
+    tabs = [t for t in ray.get(flat.to_arrow_refs()) if t is not None and t.num_rows]
+    nterms = manifest["num_terms"]
+    starts = np.full(nterms, -1, dtype=np.int64)
+    ends = np.zeros(nterms, dtype=np.int64)
+    docs_parts, freqs_parts, w_parts = [], [], []
+    off = 0
+    # rows are term- then doc-sorted within each block and blocks come
+    # back in dataset order, so per-block unique gives the spans — no
+    # global sort; a term split across consecutive blocks (block-size
+    # splitting of a big shard) just extends its end
+    for t in tabs:
+        tid = t.column("term_id").to_numpy()
+        u, first = np.unique(tid, return_index=True)
+        fresh = starts[u] == -1
+        starts[u[fresh]] = off + first[fresh]
+        ends[u] = off + np.append(first[1:], len(tid))
+        docs_parts.append(t.column("doc_id").to_numpy())
+        freqs_parts.append(t.column("tf").to_numpy())
+        w_parts.append(t.column("w32").to_numpy())
+        off += len(tid)
+    idx = SharedScoredIndex(manifest["num_docs"], starts, ends,
+                            np.concatenate(docs_parts),
+                            np.concatenate(freqs_parts),
+                            np.concatenate(w_parts))
+
+    mw = np.zeros(manifest["num_terms"], dtype=np.float32)
+    for shard_tbl in (pq.read_table(f, columns=["term_id", "max_weight"])
+                      for f in shard_files):
+        t = shard_tbl.column("term_id").to_numpy()
+        w = shard_tbl.column("max_weight").to_numpy()
+        mw[t] = w
+    wand = WandData(norm_lens, mw, sizes=sizes)
+    return idx, wand, manifest
 
 
 class ScorerActor:
@@ -87,10 +293,12 @@ def run_queries_ray(queries_ds, index_dir: str, algo: str = "wand",
     if broadcast:
         import ray
 
-        from dint_ray.pipelines.build import load_built_index
-
-        index, wand, _ = load_built_index(index_dir)
-        kwargs["index_ref"] = ray.put((index, wand))
+        key = os.path.abspath(index_dir)
+        ref = _REF_CACHE.get(key)
+        if ref is None:
+            index, wand, _ = build_shared_index(index_dir)
+            ref = _REF_CACHE[key] = ray.put((index, wand))
+        kwargs["index_ref"] = ref
     else:
         kwargs["index_dir"] = index_dir
     return queries_ds.map_batches(

@@ -133,15 +133,14 @@ class _ScoredList:
     lookups instead of per-posting scoring calls.  Identical arithmetic
     to scoring each posting scalar-wise: IEEE elementwise ops."""
 
-    __slots__ = ("term", "docs", "docs_l", "w", "pos", "n", "universe",
+    __slots__ = ("term", "docs", "w", "pos", "n", "universe",
                  "max_weight", "size")
 
-    def __init__(self, term, docs, docs_l, w, universe, max_weight):
+    def __init__(self, term, docs, w, universe, max_weight):
         self.term = term
-        self.docs = docs        # uint32 ndarray (for searchsorted)
-        self.docs_l = docs_l    # same values as a Python int list
-        self.w = w              # dtype ndarray, query-scaled
-        self.n = len(docs_l)
+        self.docs = docs        # uint32 ndarray; stays numpy so decoded
+        self.w = w              # lists shared via the object store are
+        self.n = len(docs)      # zero-copy across scorer actors
         self.pos = 0
         self.universe = universe
         self.max_weight = max_weight
@@ -149,7 +148,7 @@ class _ScoredList:
 
     def docid(self):
         p = self.pos
-        return self.docs_l[p] if p < self.n else self.universe
+        return int(self.docs[p]) if p < self.n else self.universe
 
     def weight(self):
         return self.w[self.pos]
@@ -159,7 +158,7 @@ class _ScoredList:
 
     def next_geq(self, lb):
         p = self.pos
-        if p < self.n and self.docs_l[p] < lb:
+        if p < self.n and self.docs[p] < lb:
             self.pos = p + int(np.searchsorted(self.docs[p:], lb, side="left"))
 
 
@@ -171,8 +170,7 @@ def _scored_lists(index, wdata: WandData, terms, with_bounds=False, dtype=np.flo
         if term not in index:
             continue
         docs, _ = index.cached_decode(term)
-        docs_l = index.docs_list(term)
-        qw = query_term_weight(qf, len(docs_l), num_docs, dtype)
+        qw = query_term_weight(qf, len(docs), num_docs, dtype)
         dtw = index.doc_term_weights(term, norms, dtype)
         w = (dtype(qw) * dtw).astype(dtype, copy=False)
         if with_bounds:
@@ -183,7 +181,7 @@ def _scored_lists(index, wdata: WandData, terms, with_bounds=False, dtype=np.flo
                 mw = dtype(qw * dtw.max())
         else:
             mw = dtype(0.0)
-        lists.append(_ScoredList(term, docs, docs_l, w, num_docs, mw))
+        lists.append(_ScoredList(term, docs, w, num_docs, mw))
     return lists
 
 
