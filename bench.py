@@ -65,7 +65,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     times["index_build"] = time.time() - t0
     extra["build_docs_per_sec"] = round(num_docs / times["index_build"], 1)
     extra["num_docs"] = num_docs
-    extra["num_postings"] = int(manifest.get("num_terms", 0))
+    extra["num_terms"] = int(manifest.get("num_terms", 0))
+
+    # --- 1b. decode throughput + compressed size -------------------------
+    # (the reference's vroom decode harness, vroom_env/decode.cpp:74-92,
+    # and the bits/int space metric, index_build_utils.hpp:91-118)
+    import glob
+
+    import ray
+
+    from dint_ray.pipelines.verify import _ShardFps
+
+    shard_files = sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    stbl = pq.read_table(shard_files, columns=["df", "payload"])
+    total_postings = int(np.sum(stbl.column("df").to_numpy()))
+    payload_bytes = sum(len(p) for p in stbl.column("payload").to_pylist())
+    extra["bits_per_posting_pair"] = round(
+        payload_bytes * 8 / max(2 * total_postings, 1), 3)
+    extra["num_postings"] = total_postings
+    t0 = time.time()
+    fps = rd.read_parquet(shard_files).map_batches(
+        _ShardFps, fn_constructor_kwargs={"index_dir": out_dir},
+        batch_format="pyarrow", batch_size=None,
+        concurrency=(1, num_cpus), num_cpus=1)
+    decoded = sum(r["n"] for r in fps.take_all())
+    times["decode_all"] = time.time() - t0
+    extra["decode_mints_per_sec"] = round(
+        2 * decoded / times["decode_all"] / 1e6, 2)
 
     # --- 2. BM25 serving -------------------------------------------------
     # Headline: vectorized exact scorer (rank-identical to WAND /

@@ -1,0 +1,109 @@
+"""Distributed index verification (the reference's --check / check_index:
+/root/reference/include/ds2i/verify_collection.hpp:7-53,
+/root/reference/src/check_index.cpp:10-39).
+
+Replays the built index against the tokenized postings checkpoint:
+every shard payload is DINT-decoded and fingerprinted per term; the
+postings side is fingerprinted the same way; the driver compares the
+(term -> fingerprint, length) maps.  Fingerprints are crc32 over the
+little-endian docs/freqs byte images, so a single flipped posting
+fails the check.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _fp(docs: np.ndarray, freqs: np.ndarray) -> int:
+    h = zlib.crc32(np.ascontiguousarray(docs, dtype="<u4").tobytes())
+    return zlib.crc32(np.ascontiguousarray(freqs, dtype="<u4").tobytes(), h)
+
+
+def _postings_fps(batch: pa.Table) -> pa.Table:
+    from dint_ray.util import list_views
+
+    tids = batch.column("term_id").to_numpy()
+    docs_v = list_views(batch.column("docs"))
+    freqs_v = list_views(batch.column("freqs"))
+    return pa.table({
+        "term_id": pa.array(tids.astype(np.uint32), pa.uint32()),
+        "fp": pa.array([_fp(d, f) for d, f in zip(docs_v, freqs_v)], pa.int64()),
+        "n": pa.array([len(d) for d in docs_v], pa.int64()),
+    })
+
+
+class _ShardFps:
+    def __init__(self, index_dir: str) -> None:
+        from dint_ray.dint.dictionary import load as load_dict
+        from dint_ray.index.build import BuiltDicts
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            kind = json.load(f)["dict_kind"]
+        dict_path = os.path.join(index_dir, f"dicts_{kind}.npz")
+        dicts = BuiltDicts(kind=kind,
+                           docs_dict=load_dict(dict_path + ".docs.npz"),
+                           freqs_dict=load_dict(dict_path + ".freqs.npz"))
+        self.docs_codec, self.freqs_codec = dicts.codecs()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dint_ray.index.layout import PostingListView
+
+        tids = batch.column("term_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        fps, ns = [], []
+        for pl in payloads:
+            v = PostingListView(pl, self.docs_codec, self.freqs_codec)
+            docs, freqs = v.decode_all()
+            fps.append(_fp(docs, freqs))
+            ns.append(len(docs))
+        return pa.table({
+            "term_id": pa.array(tids.astype(np.uint32), pa.uint32()),
+            "fp": pa.array(fps, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+
+def verify_index_ray(index_dir: str) -> dict:
+    """Compare decoded shards vs the postings checkpoint; returns
+    {"ok": bool, "terms": N, "mismatched": [...], "missing": [...]}."""
+    import ray
+    import ray.data as rd
+
+    def collect(ds):
+        out = {}
+        for t in ray.get(ds.to_arrow_refs()):
+            if t is None or not t.num_rows:
+                continue
+            for tid, fp, n in zip(t.column("term_id").to_numpy(),
+                                  t.column("fp").to_numpy(),
+                                  t.column("n").to_numpy()):
+                out[int(tid)] = (int(fp), int(n))
+        return out
+
+    want = collect(rd.read_parquet(os.path.join(index_dir, "postings"))
+                   .map_batches(_postings_fps, batch_format="pyarrow",
+                                batch_size=None))
+    shard_files = sorted(glob.glob(os.path.join(index_dir, "shard-*.parquet")))
+    got = collect(rd.read_parquet(shard_files).map_batches(
+        _ShardFps, fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8),
+        num_cpus=1))
+
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    mismatched = sorted(t for t in want.keys() & got.keys()
+                        if want[t] != got[t])
+    return {
+        "ok": not missing and not extra and not mismatched,
+        "terms": len(want),
+        "missing": missing[:20],
+        "extra": extra[:20],
+        "mismatched": mismatched[:20],
+    }

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Distributed index build entry point.
+
+Single node:
+    python scripts/build_index.py --pages pages.parquet --out /tmp/idx
+
+Cluster (the production shape — the script only talks to the Dataset
+API, so the same code runs on any cluster size):
+    ray job submit --working-dir . -- \
+        python scripts/build_index.py --pages s3://bucket/pages --out /mnt/idx
+
+Resumable: every stage checks its checkpoint (postings_rows/, vocab,
+postings/, sizes, stats, dicts, shard manifest) and skips finished
+work, so a pre-empted job re-submitted with the same --out continues.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="input pages parquet (file or dir)")
+    ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument("--kind", default="single_packed",
+                    choices=["single_packed", "multi_packed"])
+    ap.add_argument("--num-shards", type=int, default=32)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--from-html", action="store_true",
+                    help="extract text from the html column instead")
+    ap.add_argument("--verify", action="store_true",
+                    help="decode-replay the built index against the "
+                         "tokenized postings (create_freq_index --check)")
+    args = ap.parse_args()
+
+    import os
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, ignore_reinit_error=True)
+
+    from dint_ray.pipelines.build import build_index_ray
+
+    manifest = build_index_ray(
+        args.pages, args.out, kind=args.kind, num_shards=args.num_shards,
+        from_html=args.from_html, text_col=args.text_col, id_col=args.id_col)
+    print(json.dumps({k: v for k, v in manifest.items() if k != "shards"}))
+
+    if args.verify:
+        from dint_ray.pipelines.verify import verify_index_ray
+
+        report = verify_index_ray(args.out)
+        print(json.dumps(report))
+        if not report["ok"]:
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

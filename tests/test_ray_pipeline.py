@@ -94,3 +94,41 @@ def test_serving_matches_local(built):
             got["score"].to_numpy(),
             np.array([s for _, s in expect], dtype=np.float32),
         )
+
+
+def test_verify_index_ray(built):
+    """Distributed --check replay (verify_collection.hpp:7-53): every
+    decoded shard list matches the postings checkpoint."""
+    from dint_ray.pipelines.verify import verify_index_ray
+
+    out_dir, *_ = built
+    report = verify_index_ray(out_dir)
+    assert report["ok"], report
+    assert report["terms"] > 0
+
+
+def test_verify_detects_corruption(built, tmp_path):
+    """A corrupted shard payload must fail the check."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dint_ray.pipelines.verify import verify_index_ray
+
+    out_dir, *_ = built
+    bad_dir = str(tmp_path / "bad")
+    shutil.copytree(out_dir, bad_dir)
+    shard = sorted(glob.glob(os.path.join(bad_dir, "shard-*.parquet")))[0]
+    t = pq.read_table(shard)
+    payloads = t.column("payload").to_pylist()
+    p = bytearray(payloads[0])
+    p[len(p) // 2] ^= 0xFF
+    payloads[0] = bytes(p)
+    t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                     pa.array(payloads, pa.binary()))
+    pq.write_table(t, shard)
+    report = verify_index_ray(bad_dir)
+    assert not report["ok"]
