@@ -10,12 +10,14 @@ uint32 numpy arrays, where ``sum_of_values == U32_INVALID`` means
 
 from __future__ import annotations
 
-from dint_ray.codecs import interpolative, u32, varbyte
+from dint_ray.codecs import interpolative, simple16, u32, varbyte, varintgb
 
 CODECS: dict[str, object] = {
     "u32": u32,
     "vbyte": varbyte,
     "interpolative": interpolative,
+    "simple16": simple16,
+    "varintgb": varintgb,
 }
 
 

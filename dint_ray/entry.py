@@ -402,16 +402,14 @@ class _DecodeShard:
     The dictionaries load once per actor (ST2 in SURVEY.md §2.3)."""
 
     def __init__(self, index_dir: str) -> None:
-        from dint_ray.dint.dictionary import load as load_dict
-        from dint_ray.index.build import BuiltDicts
         import json
+
+        from dint_ray.index.build import load_codec_bundle
 
         with open(os.path.join(index_dir, "manifest.json")) as f:
             kind = json.load(f)["dict_kind"]
-        dict_path = os.path.join(index_dir, f"dicts_{kind}.npz")
-        dicts = BuiltDicts(kind=kind, docs_dict=load_dict(dict_path + ".docs.npz"),
-                           freqs_dict=load_dict(dict_path + ".freqs.npz"))
-        self.docs_codec, self.freqs_codec = dicts.codecs()
+        self.docs_codec, self.freqs_codec = \
+            load_codec_bundle(index_dir, kind).codecs()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from dint_ray.index.layout import PostingListView
@@ -714,6 +712,10 @@ def registry():
             lambda sf: q_index_roundtrip(sf, "single_packed"), SQL_POSTING_LISTS),
         "index_roundtrip_multi": (
             lambda sf: q_index_roundtrip(sf, "multi_packed"), SQL_POSTING_LISTS),
+        "index_roundtrip_block_vbyte": (
+            lambda sf: q_index_roundtrip(sf, "block_vbyte"), SQL_POSTING_LISTS),
+        "index_roundtrip_block_simple16": (
+            lambda sf: q_index_roundtrip(sf, "block_simple16"), SQL_POSTING_LISTS),
         "bm25_ranked_or": (q_ranked_or, SQL_RANKED_OR),
         "bm25_ranked_and": (q_ranked_and, SQL_RANKED_AND),
         "bm25_wand": (q_wand, SQL_RANKED_OR),

@@ -37,11 +37,28 @@ from dint_ray.scoring import WandData, max_weight_of_list
 
 @dataclass
 class BuiltDicts:
-    kind: str                       # "single_packed" | "multi_packed"
-    docs_dict: PackedDict | MultiPackedDict
-    freqs_dict: PackedDict | MultiPackedDict
+    """Codec bundle for an index build.
+
+    kind: "single_packed" | "multi_packed" (DINT, dictionary-backed) or
+    "block_<codec>" for the reference's plain block-codec index family
+    (block_freq_index<T>, /root/reference/include/ds2i/block_freq_index.hpp
+    + index_types.hpp:25-37) — no dictionary stage, both streams encoded
+    with the named codec from the block-codec registry."""
+
+    kind: str
+    docs_dict: PackedDict | MultiPackedDict | None = None
+    freqs_dict: PackedDict | MultiPackedDict | None = None
+
+    @property
+    def is_block_codec(self) -> bool:
+        return self.kind.startswith("block_")
 
     def codecs(self):
+        if self.is_block_codec:
+            from dint_ray.codecs import CODECS
+
+            codec = CODECS[self.kind[len("block_"):]]
+            return codec, codec
         if self.kind == "single_packed":
             return SingleDintCodec(self.docs_dict), SingleDintCodec(self.freqs_dict)
         return MultiDintCodec(self.docs_dict), MultiDintCodec(self.freqs_dict)
@@ -85,6 +102,8 @@ def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
                      kind: str = "single_packed",
                      cfg: DintConfig = DintConfig()) -> BuiltDicts:
     """Stats + DSF + compaction over in-memory postings (oracle path)."""
+    if kind.startswith("block_"):
+        return BuiltDicts(kind=kind)
     doc_bufs = [st.docs_gap_buffer(d) for d, _ in postings.values()]
     freq_bufs = [st.freqs_gap_buffer(f) for _, f in postings.values()]
     multi = kind == "multi_packed"
@@ -151,3 +170,16 @@ def verify_index(index: InvertedIndex,
         if not (np.array_equal(dd, docs.astype(dd.dtype)) and
                 np.array_equal(ff, freqs.astype(ff.dtype))):
             raise AssertionError(f"index mismatch at term {tid}")
+
+
+def load_codec_bundle(index_dir: str, kind: str) -> BuiltDicts:
+    """Rebuild the codec bundle for a built index directory."""
+    if kind.startswith("block_"):
+        return BuiltDicts(kind=kind)
+    import os
+
+    from dint_ray.dint.dictionary import load as _load
+
+    dict_path = os.path.join(index_dir, f"dicts_{kind}.npz")
+    return BuiltDicts(kind=kind, docs_dict=_load(dict_path + ".docs.npz"),
+                      freqs_dict=_load(dict_path + ".freqs.npz"))

@@ -431,25 +431,33 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = sz.column("len").to_numpy()
     t = _tick("doc_sizes", t)
 
-    # --- stage 5: gap-pattern stats (the mining shuffle, both streams) ---
-    stats_docs, stats_freqs = mine_stats_ray(
-        lists_ds, kind,
-        os.path.join(out_dir, "stats_docs.parquet"),
-        os.path.join(out_dir, "stats_freqs.parquet"), cfg)
-    t = _tick("pattern_stats", t)
-
-    # --- stage 6: dictionaries (driver; stats are tiny) ---
-    dict_path = os.path.join(out_dir, f"dicts_{kind}.npz")
-    if os.path.exists(dict_path + ".docs.npz"):
-        docs_dict = load_dict(dict_path + ".docs.npz")
-        freqs_dict = load_dict(dict_path + ".freqs.npz")
-        dicts = BuiltDicts(kind=kind, docs_dict=docs_dict, freqs_dict=freqs_dict)
+    if kind.startswith("block_"):
+        # plain block-codec index (block_freq_index<T> family): no
+        # dictionary model, stages 5-6 are skipped entirely
+        dicts = BuiltDicts(kind=kind)
+        t = _tick("pattern_stats", t)
+        t = _tick("dictionaries", t)
     else:
-        dicts = _dicts_from_stats(stats_docs, stats_freqs, kind, cfg)
-        saver = save_single if kind == "single_packed" else save_multi
-        saver(dict_path + ".docs.npz", dicts.docs_dict)
-        saver(dict_path + ".freqs.npz", dicts.freqs_dict)
-    t = _tick("dictionaries", t)
+        # --- stage 5: gap-pattern stats (the mining shuffle, both streams) ---
+        stats_docs, stats_freqs = mine_stats_ray(
+            lists_ds, kind,
+            os.path.join(out_dir, "stats_docs.parquet"),
+            os.path.join(out_dir, "stats_freqs.parquet"), cfg)
+        t = _tick("pattern_stats", t)
+
+        # --- stage 6: dictionaries (driver; stats are tiny) ---
+        dict_path = os.path.join(out_dir, f"dicts_{kind}.npz")
+        if os.path.exists(dict_path + ".docs.npz"):
+            docs_dict = load_dict(dict_path + ".docs.npz")
+            freqs_dict = load_dict(dict_path + ".freqs.npz")
+            dicts = BuiltDicts(kind=kind, docs_dict=docs_dict,
+                               freqs_dict=freqs_dict)
+        else:
+            dicts = _dicts_from_stats(stats_docs, stats_freqs, kind, cfg)
+            saver = save_single if kind == "single_packed" else save_multi
+            saver(dict_path + ".docs.npz", dicts.docs_dict)
+            saver(dict_path + ".freqs.npz", dicts.freqs_dict)
+        t = _tick("dictionaries", t)
 
     # --- stage 7: encode + shard write ---
     avg = float(np.asarray(sizes, dtype=np.float64).sum() / num_docs)
@@ -513,17 +521,14 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
 
 def load_built_index(out_dir: str):
     """(InvertedIndex, WandData, manifest) from a build directory."""
+    from dint_ray.index.build import load_codec_bundle
     from dint_ray.index.shards import load_shards
     from dint_ray.scoring import WandData
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
     kind = manifest["dict_kind"]
-    dict_path = os.path.join(out_dir, f"dicts_{kind}.npz")
-    docs_dict = load_dict(dict_path + ".docs.npz")
-    freqs_dict = load_dict(dict_path + ".freqs.npz")
-    dicts = BuiltDicts(kind=kind, docs_dict=docs_dict, freqs_dict=freqs_dict)
-    docs_codec, freqs_codec = dicts.codecs()
+    docs_codec, freqs_codec = load_codec_bundle(out_dir, kind).codecs()
     idx, max_w, _ = load_shards(out_dir, docs_codec, freqs_codec)
     sz = pq.read_table(os.path.join(out_dir, "sizes.parquet"))
     sizes = np.zeros(manifest["num_docs"], dtype=np.uint32)

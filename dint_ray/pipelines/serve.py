@@ -161,11 +161,10 @@ def _build_shared_index(index_dir: str):
 
     class DecodeShard:
         def __init__(self):
-            dicts = BuiltDicts(
-                kind=kind,
-                docs_dict=load_dict(dict_path + ".docs.npz"),
-                freqs_dict=load_dict(dict_path + ".freqs.npz"))
-            self.docs_codec, self.freqs_codec = dicts.codecs()
+            from dint_ray.index.build import load_codec_bundle
+
+            self.docs_codec, self.freqs_codec = \
+                load_codec_bundle(index_dir, kind).codecs()
             self.norms = ray.get(norms_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:

@@ -41,16 +41,12 @@ def _postings_fps(batch: pa.Table) -> pa.Table:
 
 class _ShardFps:
     def __init__(self, index_dir: str) -> None:
-        from dint_ray.dint.dictionary import load as load_dict
-        from dint_ray.index.build import BuiltDicts
+        from dint_ray.index.build import load_codec_bundle
 
         with open(os.path.join(index_dir, "manifest.json")) as f:
             kind = json.load(f)["dict_kind"]
-        dict_path = os.path.join(index_dir, f"dicts_{kind}.npz")
-        dicts = BuiltDicts(kind=kind,
-                           docs_dict=load_dict(dict_path + ".docs.npz"),
-                           freqs_dict=load_dict(dict_path + ".freqs.npz"))
-        self.docs_codec, self.freqs_codec = dicts.codecs()
+        self.docs_codec, self.freqs_codec = \
+            load_codec_bundle(index_dir, kind).codecs()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from dint_ray.index.layout import PostingListView

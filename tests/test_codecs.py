@@ -9,7 +9,7 @@ asserting exact roundtrip and exact consumed-byte count.
 import numpy as np
 import pytest
 
-from dint_ray.codecs import interpolative, u32, varbyte
+from dint_ray.codecs import interpolative, simple16, u32, varbyte, varintgb
 from dint_ray.config import U32_INVALID
 
 RNG = np.random.default_rng(12345)
@@ -27,13 +27,25 @@ def _roundtrip(codec, values, sum_known):
     assert consumed == len(blob)
 
 
-@pytest.mark.parametrize("codec", [u32, varbyte, interpolative])
+@pytest.mark.parametrize("codec", [u32, varbyte, interpolative, simple16,
+                                   varintgb])
 @pytest.mark.parametrize("size", SIZES)
 @pytest.mark.parametrize("mag", MAGNITUDES)
 @pytest.mark.parametrize("sum_known", [False, True])
 def test_roundtrip_sweep(codec, size, mag, sum_known):
     values = RNG.integers(0, 1 << mag, size=size).astype(np.uint32)
     _roundtrip(codec, values, sum_known)
+
+
+def test_simple16_rejects_over_28_bits():
+    with pytest.raises(ValueError):
+        simple16.encode(np.array([1 << 28], dtype=np.uint32), U32_INVALID)
+
+
+def test_varintgb_full_range():
+    values = np.array([0, 255, 256, 65535, 65536, 2**24 - 1, 2**24,
+                       2**32 - 1, 7], dtype=np.uint32)
+    _roundtrip(varintgb, values, False)
 
 
 def test_varbyte_singles():

@@ -116,3 +116,32 @@ def test_compression_beats_raw(corpus):
     built, _ = corpus
     bpi = built.stats_bits_per_int()["bits_per_posting_pair"]
     assert bpi < 64  # two uint32 streams raw = 64 bits/pair
+
+
+# --------------------------------------------------------------------------
+# block-codec index family (block_freq_index<T>,
+# /root/reference/include/index_types.hpp:25-37)
+# --------------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("codec", ["vbyte", "u32", "interpolative",
+                                    "simple16", "varintgb"])
+def test_block_codec_index_roundtrip(codec):
+    import numpy as np
+
+    from dint_ray.fixtures import generate_pages
+    from dint_ray.index.build import build_index_local, verify_index
+    from dint_ray.postings import oracle_postings
+
+    pages = generate_pages(120, vocab_size=150, seed=9)
+    postings, vocab, sizes, num_docs = oracle_postings(pages)
+    li = build_index_local(postings, sizes, num_docs, kind=f"block_{codec}")
+    verify_index(li.index, postings)
+    # enumerator contract holds over the block-codec layout too
+    tid = max(postings, key=lambda t: len(postings[t][0]))
+    docs = postings[tid][0]
+    e = li.index.enumerator(tid)
+    e.next_geq(int(docs[len(docs) // 2]))
+    assert e.docid() == int(docs[len(docs) // 2])

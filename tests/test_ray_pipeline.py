@@ -132,3 +132,47 @@ def test_verify_detects_corruption(built, tmp_path):
     pq.write_table(t, shard)
     report = verify_index_ray(bad_dir)
     assert not report["ok"]
+
+
+def test_build_resume_from_checkpoints(built, tmp_path):
+    """Kill-and-resume drill: wiping the manifest + shards and
+    re-running reuses every earlier checkpoint (mtimes untouched) and
+    regenerates byte-identical shards."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+
+    out_dir, manifest, *_ = built
+
+    # 1. finished build: re-invoking returns the manifest immediately
+    t0 = _time.time()
+    again = build_index_ray(os.path.join(out_dir, "..", "nonexistent-pages"),
+                            out_dir)  # pages path unused when manifest exists
+    assert again["num_docs"] == manifest["num_docs"]
+    assert _time.time() - t0 < 2.0
+
+    # 2. simulate a crash after encode started: manifest + shards lost
+    resume_dir = str(tmp_path / "resume")
+    shutil.copytree(out_dir, resume_dir)
+    orig_hash = {os.path.basename(p): hashlib.sha1(open(p, "rb").read()).hexdigest()
+                 for p in glob.glob(os.path.join(resume_dir, "shard-*.parquet"))}
+    os.remove(os.path.join(resume_dir, "manifest.json"))
+    for p in glob.glob(os.path.join(resume_dir, "shard-*.parquet")):
+        os.remove(p)
+    pages_path = pages_fixture_path(N_DOCS, VOCAB, seed=5)
+    mtimes = {p: os.path.getmtime(p) for p in (
+        os.path.join(resume_dir, "vocab.parquet"),
+        os.path.join(resume_dir, "sizes.parquet"),
+        os.path.join(resume_dir, "stats_docs.parquet"),
+        os.path.join(resume_dir, "dicts_single_packed.npz.docs.npz"),
+    )}
+    m2 = build_index_ray(pages_path, resume_dir, kind="single_packed",
+                         bcfg=BCFG, num_shards=4)
+    assert m2["num_docs"] == manifest["num_docs"]
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"checkpoint {p} was rebuilt"
+    new_hash = {os.path.basename(p): hashlib.sha1(open(p, "rb").read()).hexdigest()
+                for p in glob.glob(os.path.join(resume_dir, "shard-*.parquet"))}
+    assert new_hash == orig_hash
