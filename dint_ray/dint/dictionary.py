@@ -189,6 +189,112 @@ def build_packed_single(targets: list[np.ndarray], cfg: DintConfig = DintConfig(
     return PackedDict.from_offsets(table, offsets)
 
 
+def _compact_overlap(targets: list[tuple[int, ...]]):
+    """overlap_policy::compact (dictionary_building_utils.hpp:63-239):
+    drop entries contained as a SUBSTRING of another entry, then greedily
+    merge suffix/prefix overlaps (longest overlap first), so entries
+    share table cells.  Returns (segments, locate) where ``segments`` is
+    the list of merged integer sequences and ``locate[target] ->
+    (segment_idx, pos)``.
+
+    Deviations from the reference, documented: candidate containment is
+    pre-filtered by 64-bit window hashes (verified by direct comparison
+    on hit, so a collision can only *miss* a merge, never corrupt one),
+    and ties are broken by (len desc, lex asc) instead of priority-queue
+    insertion order — the same determinism fix as the stats sorter."""
+    uniq = sorted(set(targets), key=lambda t: (-len(t), t))
+    if not uniq:
+        return [], {}
+
+    from dint_ray.util import window_hashes
+
+    # 1. substring containment: window-hash index over all entries
+    win_index: dict[int, tuple[int, int]] = {}  # hash -> (entry_idx, pos)
+    for i, t in enumerate(uniq):
+        arr = np.asarray(t, dtype=np.uint32)
+        for ln in range(1, len(t)):
+            for pos, h in enumerate(window_hashes(arr, ln)):
+                win_index.setdefault((ln, int(h)), (i, pos))
+    contained: dict[tuple[int, ...], tuple[int, int]] = {}
+    alive: list[tuple[int, ...]] = []
+    for i, t in enumerate(uniq):
+        hit = win_index.get((len(t), int(hash_pattern(np.asarray(t, np.uint32)))))
+        if hit is not None and hit[0] != i:
+            ci, pos = hit
+            if uniq[ci][pos : pos + len(t)] == t:  # verify (collision guard)
+                contained[t] = (ci, pos)
+                continue
+        alive.append(t)
+
+    # 2. greedy suffix/prefix overlap merge, longest overlaps first
+    segs: list[list[int] | None] = [list(t) for t in alive]
+    members: list[list[tuple[tuple[int, ...], int]] | None] = [
+        [(t, 0)] for t in alive]           # per segment: (target, pos)
+    head = list(range(len(segs)))          # live segment ids
+    max_k = max((len(t) for t in alive), default=1) - 1
+    for k in range(max_k, 0, -1):
+        pref: dict[tuple[int, ...], list[int]] = {}
+        for s in head:
+            if segs[s] is not None and len(segs[s]) >= k:
+                pref.setdefault(tuple(segs[s][:k]), []).append(s)
+        merged_any = True
+        while merged_any:
+            merged_any = False
+            for s in head:
+                if segs[s] is None or len(segs[s]) < k:
+                    continue
+                key = tuple(segs[s][-k:])
+                for cand in pref.get(key, []):
+                    if cand == s or segs[cand] is None:
+                        continue
+                    # merge cand onto s, sharing k cells
+                    base = len(segs[s]) - k
+                    members[s].extend((t, base + pos)
+                                      for t, pos in members[cand])
+                    members[cand] = None
+                    segs[s].extend(segs[cand][k:])
+                    segs[cand] = None
+                    merged_any = True
+                    break
+        head = [s for s in head if segs[s] is not None]
+
+    final_segs = [segs[s] for s in head]
+    locate: dict[tuple[int, ...], tuple[int, int]] = {}
+    for new_i, s in enumerate(head):
+        for t, pos in members[s]:
+            locate[t] = (new_i, pos)
+    for t, (ci, pos) in contained.items():
+        si, spos = locate[uniq[ci]]
+        locate[t] = (si, spos + pos)
+    return final_segs, locate
+
+
+def build_packed_single_overlap(targets: list[np.ndarray],
+                                cfg: DintConfig = DintConfig()) -> PackedDict:
+    """single_dictionary::builder with overlap_policy: same codeword
+    assignment as pack, smaller table (entries share overlapping
+    cells).  Not used by the three shipped index types
+    (index_types.hpp:62-80) — provided for parity with the reference's
+    compaction-policy axis."""
+    max_targets = cfg.num_entries - RESERVED
+    tup_targets = [tuple(int(x) for x in t) for t in targets[:max_targets]]
+    segs, locate = _compact_overlap(tup_targets)
+
+    flat = [0] * cfg.max_entry_size
+    seg_start = []
+    for seg in segs:
+        seg_start.append(len(flat))
+        flat.extend(seg)
+    table = np.asarray(flat, dtype=np.uint32)
+
+    offs = [0] * EXCEPTIONS + [(n - 1) << 24 for n in RUN_LENGTHS]
+    for t in tup_targets:
+        si, pos = locate[t]
+        offs.append(((len(t) - 1) << 24) | (seg_start[si] + pos))
+    offsets = np.asarray(offs, dtype=np.uint32)
+    return PackedDict.from_offsets(table, offsets)
+
+
 @dataclass
 class MultiPackedDict:
     """multi_dictionary (6 packed dicts sharing one table).

@@ -193,3 +193,60 @@ def test_dict_artifact_roundtrip(tmp_path, single_dict, multi_dict):
     save_multi(p2, multi_dict)
     m2 = load(p2)
     assert dc.encode_block_multi(buf, m2) == dc.encode_block_multi(buf, multi_dict)
+
+
+# --------------------------------------------------------------------------
+# overlap compaction (D6, dictionary_building_utils.hpp:63-239)
+# --------------------------------------------------------------------------
+
+def test_overlap_compaction_locates_every_target():
+    from dint_ray.dint.dictionary import (build_packed_single,
+                                          build_packed_single_overlap)
+
+    rng = np.random.default_rng(77)
+    targets = []
+    # overlapping family: suffix of one = prefix of another
+    base = [int(x) for x in rng.integers(0, 50, size=24)]
+    for ln in (16, 8, 4, 2, 1):
+        for s in range(0, 8):
+            targets.append(np.asarray(base[s : s + ln], dtype=np.uint32))
+    targets.append(np.asarray(base[:3], dtype=np.uint32))  # substring case
+    seen = set()
+    uniq_targets = []
+    for t in targets:
+        k = tuple(t.tolist())
+        if k not in seen and len(k):
+            seen.add(k)
+            uniq_targets.append(t)
+
+    d_over = build_packed_single_overlap(uniq_targets)
+    d_pack = build_packed_single(uniq_targets)
+    # same codeword assignment, every entry recoverable
+    assert d_over.size == d_pack.size
+    from dint_ray.config import RESERVED
+
+    for i in range(RESERVED, d_over.size):
+        np.testing.assert_array_equal(d_over.entry(i), d_pack.entry(i))
+    # the point of the policy: a smaller table
+    assert len(d_over.table) <= len(d_pack.table)
+
+
+def test_overlap_dict_codec_roundtrip():
+    from dint_ray.dint.codec import SingleDintCodec
+    from dint_ray.dint.dictionary import build_packed_single_overlap
+    from dint_ray.dint import stats as st
+    from dint_ray.config import DintConfig
+
+    rng = np.random.default_rng(123)
+    bufs = [st.docs_gap_buffer(np.sort(
+        rng.choice(50000, size=n, replace=False)).astype(np.uint32))
+        for n in (300, 700, 1200)]
+    counts, total = st.collect_single(bufs)
+    targets = st.select_targets(counts, total, DintConfig())
+    codec = SingleDintCodec(build_packed_single_overlap(targets))
+    for buf in bufs:
+        blob = codec.encode(buf, int(buf.sum()))
+        out, consumed = codec.decode(
+            np.frombuffer(blob, dtype=np.uint8), 0, int(buf.sum()), len(buf))
+        np.testing.assert_array_equal(out, buf)
+        assert consumed == len(blob)
