@@ -101,6 +101,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # they pay pointer-chasing cost for no skipped postings).
     qlog = generate_queries(NUM_QUERIES, manifest["num_terms"])
     qds = queries_to_dataset(qlog)
+    # untimed warmup (the reference's pass 0, queries.cpp:104-111):
+    # builds + broadcasts the shared scored index once
+    run_queries_ray(qds.limit(32), out_dir, algo="wand", k=K,
+                    concurrency=num_cpus).count()
     for algo, tag in (("ranked_or_fast", "bm25_serve"),
                       ("wand", "bm25_wand_serve"),
                       ("maxscore", "bm25_maxscore_serve")):
