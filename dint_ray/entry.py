@@ -221,6 +221,13 @@ SQL_EXACT_DEDUP = """
 SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text
 """
 
+SQL_FINGERPRINT = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE}'), ' '))
+         AS fingerprint_md5
+FROM documents
+"""
+
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl FROM documents
@@ -614,7 +621,10 @@ def q_lang_id(sf_dir: str):
 def q_fingerprint(sf_dir: str):
     from dint_ray.ops.textstats import fingerprint_ds
 
-    return fingerprint_ds(_docs_ds(sf_dir))
+    ds = fingerprint_ds(_docs_ds(sf_dir))
+    # the md5 column is what the SQL oracle reproduces exactly; the
+    # crc32 column stays the in-pipeline dedup key
+    return ds.select_columns(["doc_id", "fingerprint_md5"])
 
 
 def q_exact_dedup(sf_dir: str):
@@ -724,7 +734,7 @@ def registry():
         "pairwise_intersect": (q_pairwise_intersect, SQL_PAIRWISE_INTERSECT),
         "text_stats": (q_text_stats, SQL_TEXT_STATS),
         "lang_id": (q_lang_id, SQL_LANG_ID),
-        "doc_fingerprint": (q_fingerprint, None),
+        "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "ngram_jaccard_dedup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "minhash_lsh_dedup": (q_minhash_pairs, None),

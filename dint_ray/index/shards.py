@@ -25,6 +25,16 @@ import pyarrow.parquet as pq
 from dint_ray.index.layout import DocumentEnumerator, PostingListView
 
 
+def _block_bounds_of(docs: np.ndarray, dtw: np.ndarray, block: int = 256):
+    """Per-block (last docID, max weight) arrays for a posting list."""
+    n = len(docs)
+    nblocks = (n + block - 1) // block
+    starts = np.arange(nblocks) * block
+    last = docs[np.minimum(starts + block - 1, n - 1)].astype(np.int64)
+    bmax = np.maximum.reduceat(dtw, starts) if n else dtw[:0]
+    return last, bmax
+
+
 class InvertedIndex:
     """term_id -> posting payload bytes; decode on demand with caching."""
 
@@ -88,6 +98,19 @@ class InvertedIndex:
             w = doc_term_weight(freqs, norms[docs], dtype)
             self._dtw[key] = w
         return w
+
+    def block_bounds(self, term_id: int, norms, dtype):
+        """(last_doc, max_dtw) per 256-posting block — the block-max
+        metadata for block-max WAND.  The posting layout already stores
+        per-block max docIDs (dict_posting_list.hpp:42-53); the score
+        maxima are derived from the cached weights, query-independent."""
+        key = (term_id, dtype, "bm")
+        r = self._dtw.get(key)
+        if r is None:
+            r = _block_bounds_of(self.cached_decode(term_id)[0],
+                                 self.doc_term_weights(term_id, norms, dtype))
+            self._dtw[key] = r
+        return r
 
 
 def write_shard(path: str, rows: list[tuple[int, int, float, bytes]]) -> dict:

@@ -78,21 +78,26 @@ class LangId:
 
 
 class Fingerprint:
-    """Document fingerprinting: crc32 of the normalized token stream
-    (rolling-hash family; crc32 chosen because it is deterministic,
-    fast, and standard).  Used as the exact-dedup key."""
+    """Document fingerprinting over the normalized token stream: crc32
+    (rolling-hash family, the cheap in-pipeline key) plus an md5 hex
+    digest that DuckDB computes identically, so the operator is
+    exactly oracle-checkable."""
 
     def __init__(self) -> None:
         self.tok = re.compile(TOKEN_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        fps = [zlib.crc32(" ".join(self.tok.findall(t.lower())).encode())
-               for t in texts]
+        norm = [" ".join(self.tok.findall(t.lower())) for t in texts]
+        fps = [zlib.crc32(s.encode()) for s in norm]
+        md5s = [hashlib.md5(s.encode()).hexdigest() for s in norm]
         return pa.table({
             "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
             "fingerprint": pa.array(np.asarray(fps, dtype=np.int64), pa.int64()),
+            "fingerprint_md5": pa.array(md5s, pa.string()),
         })
 
 

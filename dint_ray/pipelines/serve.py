@@ -20,7 +20,7 @@ import pyarrow as pa
 
 
 ALGOS = ("ranked_or", "ranked_or_fast", "ranked_and", "wand", "maxscore",
-         "and", "or")
+         "block_max_wand", "and", "or")
 
 
 class _ArrayEnumerator:
@@ -112,6 +112,17 @@ class SharedScoredIndex:
     def enumerator(self, term_id: int) -> _ArrayEnumerator:
         docs, freqs = self.cached_decode(term_id)
         return _ArrayEnumerator(docs, freqs, self.num_docs)
+
+    def block_bounds(self, term_id: int, norms, dtype):
+        key = (term_id, dtype, "bm")
+        r = self._dtw64.get(key)
+        if r is None:
+            from dint_ray.index.shards import _block_bounds_of
+
+            docs, _ = self.cached_decode(term_id)
+            r = _block_bounds_of(docs, self.doc_term_weights(term_id, norms, dtype))
+            self._dtw64[key] = r
+        return r
 
 
 _SHARED_CACHE: dict[str, tuple] = {}

@@ -134,7 +134,7 @@ class _ScoredList:
     to scoring each posting scalar-wise: IEEE elementwise ops."""
 
     __slots__ = ("term", "docs", "w", "pos", "n", "universe",
-                 "max_weight", "size")
+                 "max_weight", "size", "cur")
 
     def __init__(self, term, docs, w, universe, max_weight):
         self.term = term
@@ -145,21 +145,28 @@ class _ScoredList:
         self.universe = universe
         self.max_weight = max_weight
         self.size = self.n
+        # cur caches docs[pos] as a Python int: the document-at-a-time
+        # loops read it millions of times per query batch
+        self.cur = int(docs[0]) if self.n else universe
 
     def docid(self):
-        p = self.pos
-        return int(self.docs[p]) if p < self.n else self.universe
+        return self.cur
 
     def weight(self):
         return self.w[self.pos]
 
     def next(self):
-        self.pos += 1
+        p = self.pos + 1
+        self.pos = p
+        self.cur = int(self.docs[p]) if p < self.n else self.universe
 
     def next_geq(self, lb):
-        p = self.pos
-        if p < self.n and self.docs[p] < lb:
-            self.pos = p + int(np.searchsorted(self.docs[p:], lb, side="left"))
+        if self.cur < lb:
+            # docs are globally sorted: one whole-array binary search
+            # (the ndarray method, skipping numpy's dispatch wrapper)
+            p = int(self.docs.searchsorted(lb, "left"))
+            self.pos = p
+            self.cur = int(self.docs[p]) if p < self.n else self.universe
 
 
 def _scored_lists(index, wdata: WandData, terms, with_bounds=False, dtype=np.float32):
@@ -199,15 +206,15 @@ def ranked_or(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.fl
     if not lists:
         return []
     num_docs = index.num_docs
-    cur = min(L.docid() for L in lists)
+    cur = min(L.cur for L in lists)
     while cur < num_docs:
         score = dtype(0.0)
         nxt = num_docs
         for L in lists:  # ascending term order by construction
-            if L.docid() == cur:
+            if L.cur == cur:
                 score = dtype(score + L.weight())
                 L.next()
-            d = L.docid()
+            d = L.cur
             if d < nxt:
                 nxt = d
         topk.insert(float(score), cur)
@@ -255,13 +262,13 @@ def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.f
         return []
     lists_sz = sorted(lists, key=lambda L: L.size)
     num_docs = index.num_docs
-    candidate = lists_sz[0].docid()
+    candidate = lists_sz[0].cur
     i = 1
     while candidate < num_docs:
         while i < len(lists_sz):
             lists_sz[i].next_geq(candidate)
-            if lists_sz[i].docid() != candidate:
-                candidate = lists_sz[i].docid()
+            if lists_sz[i].cur != candidate:
+                candidate = lists_sz[i].cur
                 i = 0
                 break
             i += 1
@@ -269,7 +276,7 @@ def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.f
             contribs = [(L.term, L.weight()) for L in lists_sz]
             topk.insert(float(_sum_term_order(contribs, dtype)), candidate)
             lists_sz[0].next()
-            candidate = lists_sz[0].docid()
+            candidate = lists_sz[0].cur
             i = 1
     return topk.finalize()
 
@@ -280,12 +287,12 @@ def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32
     if not lists:
         return []
     num_docs = index.num_docs
-    ordered = sorted(lists, key=lambda L: L.docid())
+    ordered = sorted(lists, key=lambda L: L.cur)
     while True:
         upper_bound = dtype(0.0)
         pivot = None
         for idx, L in enumerate(ordered):
-            if L.docid() >= num_docs:
+            if L.cur >= num_docs:
                 break
             upper_bound = dtype(upper_bound + L.max_weight)
             if topk.would_enter(float(upper_bound)):
@@ -293,23 +300,23 @@ def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32
                 break
         if pivot is None:
             break
-        pivot_id = ordered[pivot].docid()
-        if pivot_id == ordered[0].docid():
+        pivot_id = ordered[pivot].cur
+        if pivot_id == ordered[0].cur:
             contribs = []
             for L in ordered:
-                if L.docid() != pivot_id:
+                if L.cur != pivot_id:
                     break
                 contribs.append((L.term, L.weight()))
                 L.next()
             topk.insert(float(_sum_term_order(contribs, dtype)), pivot_id)
-            ordered.sort(key=lambda L: L.docid())
+            ordered.sort(key=lambda L: L.cur)
         else:
             nxt = pivot
-            while ordered[nxt].docid() == pivot_id:
+            while ordered[nxt].cur == pivot_id:
                 nxt -= 1
             ordered[nxt].next_geq(pivot_id)
             j = nxt + 1
-            while j < len(ordered) and ordered[j].docid() < ordered[j - 1].docid():
+            while j < len(ordered) and ordered[j].cur < ordered[j - 1].cur:
                 ordered[j], ordered[j - 1] = ordered[j - 1], ordered[j]
                 j += 1
     return topk.finalize()
@@ -327,19 +334,19 @@ def maxscore(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.flo
     for i in range(1, len(ordered)):
         ub[i] = dtype(ub[i - 1] + ordered[i].max_weight)
     non_essential = 0
-    cur = min(L.docid() for L in lists)
+    cur = min(L.cur for L in lists)
     while non_essential < len(ordered) and cur < num_docs:
         contribs = []
         running = dtype(0.0)
         nxt = num_docs
         for i in range(non_essential, len(ordered)):
             L = ordered[i]
-            if L.docid() == cur:
+            if L.cur == cur:
                 w = L.weight()
                 contribs.append((L.term, w))
                 running = dtype(running + w)
                 L.next()
-            d = L.docid()
+            d = L.cur
             if d < nxt:
                 nxt = d
         for i in range(non_essential - 1, -1, -1):
@@ -347,7 +354,7 @@ def maxscore(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.flo
                 break
             L = ordered[i]
             L.next_geq(cur)
-            if L.docid() == cur:
+            if L.cur == cur:
                 w = L.weight()
                 contribs.append((L.term, w))
                 running = dtype(running + w)
@@ -356,4 +363,97 @@ def maxscore(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.flo
                    and not topk.would_enter(float(ub[non_essential]))):
                 non_essential += 1
         cur = nxt
+    return topk.finalize()
+
+
+def block_max_wand(index, wdata: WandData, terms: list[int], k: int = 10,
+                   dtype=np.float32):
+    """Block-max WAND (Ding & Suel 2011) over per-256-block score
+    maxima — the tighter pruning layer the north star names on top of
+    the reference's classic term-bound WAND (queries.hpp:190-307).
+
+    Exact: a pivot survives only after BOTH the term-level bound check
+    (identical to ``wand``) and the block-level refinement; when the
+    block bound fails, the cursor jumps to the first docID where any
+    block (or the next list's current doc) changes, so no document
+    whose true score could enter the heap is ever skipped.  Scoring and
+    tie-breaks are shared with the other algorithms — rank-identical
+    to exhaustive ranked-OR."""
+    topk = TopK(k)
+    lists = _scored_lists(index, wdata, terms, with_bounds=True, dtype=dtype)
+    if not lists:
+        return []
+    norms = wdata.norms(dtype)
+    num_docs = index.num_docs
+    qf_of = dict(query_freqs(terms))
+    # per-list query-scaled block maxima: qw * max(dtw) per block, with
+    # qw computed exactly as in _scored_lists
+    blocks = {}
+    for L in lists:
+        last, bmax = index.block_bounds(L.term, norms, dtype)
+        qw = query_term_weight(qf_of[L.term], L.n, num_docs, dtype)
+        blocks[L.term] = (last, (dtype(qw) * bmax).astype(dtype, copy=False))
+
+    ordered = sorted(lists, key=lambda L: L.cur)
+    while True:
+        upper_bound = dtype(0.0)
+        pivot = None
+        for idx_, L in enumerate(ordered):
+            if L.cur >= num_docs:
+                break
+            upper_bound = dtype(upper_bound + L.max_weight)
+            if topk.would_enter(float(upper_bound)):
+                pivot = idx_
+                break
+        if pivot is None:
+            break
+        pivot_id = ordered[pivot].cur
+
+        # the pivot group: every list whose current doc IS pivot_id
+        # contributes to it and must join the block refinement
+        end = pivot
+        while end + 1 < len(ordered) and ordered[end + 1].cur == pivot_id:
+            end += 1
+
+        block_ub = dtype(0.0)
+        jump = num_docs
+        for L in ordered[: end + 1]:
+            last, bw = blocks[L.term]
+            b = int(np.searchsorted(last, pivot_id, side="left"))
+            if b < len(bw):
+                block_ub = dtype(block_ub + bw[b])
+                nb = int(last[b]) + 1
+                if nb < jump:
+                    jump = nb
+        if end + 1 < len(ordered) and ordered[end + 1].cur < jump:
+            jump = ordered[end + 1].cur
+
+        if not topk.would_enter(float(block_ub)):
+            # no doc in [pivot_id, jump) can enter: advance every list
+            # sitting below the jump target
+            target = max(jump, pivot_id + 1)
+            for L in ordered:
+                if L.cur < target:
+                    L.next_geq(target)
+            ordered.sort(key=lambda L: L.cur)
+            continue
+
+        if pivot_id == ordered[0].cur:
+            contribs = []
+            for L in ordered:
+                if L.cur != pivot_id:
+                    break
+                contribs.append((L.term, L.weight()))
+                L.next()
+            topk.insert(float(_sum_term_order(contribs, dtype)), pivot_id)
+            ordered.sort(key=lambda L: L.cur)
+        else:
+            nxt = pivot
+            while ordered[nxt].cur == pivot_id:
+                nxt -= 1
+            ordered[nxt].next_geq(pivot_id)
+            j = nxt + 1
+            while j < len(ordered) and ordered[j].cur < ordered[j - 1].cur:
+                ordered[j], ordered[j - 1] = ordered[j - 1], ordered[j]
+                j += 1
     return topk.finalize()

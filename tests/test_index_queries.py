@@ -145,3 +145,24 @@ def test_block_codec_index_roundtrip(codec):
     e = li.index.enumerator(tid)
     e.next_geq(int(docs[len(docs) // 2]))
     assert e.docid() == int(docs[len(docs) // 2])
+
+
+def test_block_max_wand_rank_identity():
+    """BMW == exhaustive ranked-OR on every query (exact pruning)."""
+    import numpy as np
+
+    from dint_ray.fixtures import generate_pages, generate_queries
+    from dint_ray.index.build import build_index_local
+    from dint_ray.postings import oracle_postings
+    from dint_ray.queries import algorithms as qa
+
+    pages = generate_pages(600, vocab_size=800, seed=21)
+    postings, vocab, sizes, num_docs = oracle_postings(pages)
+    li = build_index_local(postings, sizes, num_docs)
+    for q in generate_queries(300, vocab.size, seed=33):
+        want = qa.ranked_or(li.index, li.wand, q, 10)
+        got = qa.block_max_wand(li.index, li.wand, q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_array_equal(
+            np.asarray([s for _, s in got], np.float32),
+            np.asarray([s for _, s in want], np.float32))
