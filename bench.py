@@ -157,7 +157,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 SCALING_DOCS = 200_000
 SCALING_VOCAB = 30_000
-SCALING_QUERIES = 40_000
+SCALING_QUERIES = 80_000
 SCALING_DIR = "/tmp/dint_ray_scaling"
 
 

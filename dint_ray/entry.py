@@ -467,8 +467,8 @@ class _ConformanceScorer:
     def __init__(self, index_dir: str, mode: str, k: int = K) -> None:
         from dint_ray.pipelines.build import load_built_index
 
-        assert mode in ("ranked_or", "ranked_and", "wand", "maxscore", "counts",
-                        "intersect")
+        assert mode in ("ranked_or", "ranked_and", "wand", "maxscore",
+                        "block_max_wand", "counts", "intersect")
         self.index, self.wand, self.manifest = load_built_index(index_dir)
         self.mode = mode
         self.k = k
@@ -505,7 +505,7 @@ class _ConformanceScorer:
         if self.mode == "ranked_and":
             acc = {d: s for d, s in acc.items() if hits[d] == npresent}
         order = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[: self.k]
-        if self.mode in ("wand", "maxscore"):
+        if self.mode in ("wand", "maxscore", "block_max_wand"):
             from dint_ray.queries import algorithms as qa
 
             algo = getattr(qa, self.mode)
@@ -591,6 +591,10 @@ def q_wand(sf_dir: str):
 
 def q_maxscore(sf_dir: str):
     return _run_conformance(sf_dir, "maxscore")
+
+
+def q_block_max_wand(sf_dir: str):
+    return _run_conformance(sf_dir, "block_max_wand")
 
 
 def q_bool_counts(sf_dir: str):
@@ -730,6 +734,7 @@ def registry():
         "bm25_ranked_and": (q_ranked_and, SQL_RANKED_AND),
         "bm25_wand": (q_wand, SQL_RANKED_OR),
         "bm25_maxscore": (q_maxscore, SQL_RANKED_OR),
+        "bm25_block_max_wand": (q_block_max_wand, SQL_RANKED_OR),
         "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),
         "pairwise_intersect": (q_pairwise_intersect, SQL_PAIRWISE_INTERSECT),
         "text_stats": (q_text_stats, SQL_TEXT_STATS),
