@@ -229,8 +229,13 @@ def run_scaling() -> dict:
             [sys.executable, os.path.abspath(__file__), "--scale-inner",
              str(cpus)],
             env=dict(os.environ), capture_output=True, text=True, timeout=1800)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"scale-inner {cpus} failed (rc={out.returncode}, "
+                f"{len(lines)} JSON lines) — stderr above")
+        results[cpus] = json.loads(lines[-1])
     r8, r32 = results[8], results[32]
 
     def eff(key):

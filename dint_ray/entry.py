@@ -251,6 +251,74 @@ JOIN card cb ON cb.doc_id = db
 WHERE i::DOUBLE / (ca.c + cb.c - i) >= {JACCARD_THRESHOLD}
 """
 
+def _mh_params_sql() -> str:
+    from dint_ray.ops.dedup import _mh_params
+
+    a, b = _mh_params(64)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+
+
+# Exact SQL twin of ops/dedup.py's MinHash+LSH+verify pipeline: same
+# md5-prefix shingle ids, same (a*x+b) mod 2^31-1 minhash (exact BIGINT
+# arithmetic), same 16x4 band keys, same shingle-set Jaccard >= t on
+# candidates.  Docs with < k tokens collapse to ONE whole-text shingle
+# (the _shingles padding rule); docs with no tokens drop out entirely.
+SQL_MINHASH_VERIFIED = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+    CASE WHEN len(tl) >= {JACCARD_K}
+         THEN list_transform(range(1, len(tl) - {JACCARD_K - 1} + 1),
+                             i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+         WHEN len(tl) > 0 THEN [array_to_string(tl, ' ')]
+         ELSE [] END AS sl
+  FROM toks
+),
+shd AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM shl),
+sid AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS sid60,
+         ('0x' || substr(md5(s), 1, 8))::BIGINT AS sid32
+  FROM shd
+),
+s60 AS (SELECT DISTINCT doc_id, sid60 FROM sid),
+s32 AS (SELECT DISTINCT doc_id, sid32 FROM sid),
+params(i, a, b) AS (VALUES {_mh_params_sql()}),
+minh AS (
+  SELECT s.doc_id, p.i, min((p.a * s.sid32 + p.b) % 2147483647) AS h
+  FROM s32 s CROSS JOIN params p GROUP BY s.doc_id, p.i
+),
+bandkey AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(h::VARCHAR, '_' ORDER BY i) AS bk
+  FROM minh GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bandkey a JOIN bandkey b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+card AS (SELECT doc_id, count(*)::BIGINT AS c FROM s60 GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN s60 x ON x.doc_id = c.da
+  JOIN s60 y ON y.doc_id = c.db AND y.sid60 = x.sid60
+  GROUP BY c.da, c.db
+)
+SELECT c.da::BIGINT AS doc_a, c.db::BIGINT AS doc_b
+FROM cand c
+JOIN card ca ON ca.doc_id = c.da
+JOIN card cb ON cb.doc_id = c.db
+LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+WHERE coalesce(i.i, 0)::DOUBLE
+      / (ca.c + cb.c - coalesce(i.i, 0)) >= {JACCARD_THRESHOLD}
+"""
+
+
 _KNN_IDS_SQL = ", ".join(str(i) for i in KNN_QUERY_IDS)
 
 SQL_KNN_COSINE = f"""
@@ -290,12 +358,23 @@ def _code_sig() -> str:
 _SIG = None
 
 
+def _data_sig(sf_dir: str) -> str:
+    """Cheap input fingerprint (file size + mtime of documents.parquet)
+    so a regenerated-in-place fixture never hits a stale cached index."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st_ = os.stat(p)
+        return f"{st_.st_size}_{int(st_.st_mtime)}"
+    except OSError:
+        return "nodata"
+
+
 def index_dir_for(sf_dir: str, kind: str) -> str:
     global _SIG
     if _SIG is None:
         _SIG = _code_sig()
     tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
-    return f"/tmp/dint_ray_entry/{_SIG}/{tag}/{kind}"
+    return f"/tmp/dint_ray_entry/{_SIG}/{tag}_{_data_sig(sf_dir)}/{kind}"
 
 
 def ensure_index(sf_dir: str, kind: str = "single_packed",
@@ -478,14 +557,18 @@ class _ConformanceScorer:
         self.avg = np.float64(sizes.sum() / self.manifest["num_docs"])
 
     def _contribs(self, terms):
-        """{(doc): (score_u, nhit)} accumulated over present query terms."""
+        """{(doc): (score_u, nhit)} accumulated over present query terms.
+
+        ``ndistinct`` counts ALL distinct query terms (present or not),
+        matching the SQL oracle's ``qn.nt`` — a query with any
+        out-of-vocabulary term has an unsatisfiable AND."""
         acc: dict[int, int] = {}
         hits: dict[int, int] = {}
-        npresent = 0
+        ndistinct = 0
         for term, qf in query_freqs(terms):
+            ndistinct += 1
             if term not in self.index:
                 continue
-            npresent += 1
             docs, freqs = self.index.decode(term)
             df = np.float64(len(docs))
             g = max(np.float64(1e-6), np.log((self.N - df + 0.5) / (df + 0.5)))
@@ -498,12 +581,12 @@ class _ConformanceScorer:
                 d = int(d)
                 acc[d] = acc.get(d, 0) + int(v)
                 hits[d] = hits.get(d, 0) + 1
-        return acc, hits, npresent
+        return acc, hits, ndistinct
 
     def _topk_rows(self, qid, terms):
-        acc, hits, npresent = self._contribs(terms)
+        acc, hits, ndistinct = self._contribs(terms)
         if self.mode == "ranked_and":
-            acc = {d: s for d, s in acc.items() if hits[d] == npresent}
+            acc = {d: s for d, s in acc.items() if hits[d] == ndistinct}
         order = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[: self.k]
         if self.mode in ("wand", "maxscore", "block_max_wand"):
             from dint_ray.queries import algorithms as qa
@@ -647,19 +730,14 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only check:
-    LSH recall is probabilistic by design)."""
-    import ray
-
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified via
+    distributed joins (no corpus broadcast).  The full pipeline —
+    md5-prefix shingle ids, (a*x+b) mod 2^31-1 minhash, band-tuple
+    candidate keys, shingle-set Jaccard — is deterministic and
+    reproduced term-for-term by SQL_MINHASH_VERIFIED."""
     from dint_ray.ops.dedup import minhash_dedup_pairs_ds
 
-    tbl = pa.concat_tables(
-        [t for t in ray.get(_docs_ds(sf_dir).to_arrow_refs()) if t is not None])
-    texts = dict(zip(tbl.column("doc_id").to_pylist(),
-                     tbl.column("text").to_pylist()))
-    texts_ref = ray.put(texts)
-    ds = minhash_dedup_pairs_ds(_docs_ds(sf_dir), texts_ref,
-                                threshold=JACCARD_THRESHOLD)
+    ds = minhash_dedup_pairs_ds(_docs_ds(sf_dir), threshold=JACCARD_THRESHOLD)
     return ds.map_batches(_cast_cols({"doc_a": pa.int64(), "doc_b": pa.int64()}),
                           batch_format="pyarrow")
 
@@ -742,7 +820,7 @@ def registry():
         "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "ngram_jaccard_dedup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-        "minhash_lsh_dedup": (q_minhash_pairs, None),
+        "minhash_lsh_dedup": (q_minhash_pairs, SQL_MINHASH_VERIFIED),
         "simhash_dedup": (q_simhash_pairs, None),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
         "knn_lsh": (q_lsh_knn, None),

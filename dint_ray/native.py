@@ -1,0 +1,510 @@
+"""Optional C kernels for the document-at-a-time query loops.
+
+The pure-Python algorithms in queries/algorithms.py are the semantic
+reference (and the conformance/float64 path); these kernels replicate
+them operation-for-operation in C for the float32 production path:
+
+- same float32 accumulation order (per-doc contributions summed in
+  ascending term_id order; upper bounds accumulated in cursor order);
+- same top-k semantics (min-heap keyed (score asc, docid desc), strict
+  ``score > min`` entry, final order (score desc, docid asc));
+- same cursor moves (whole-array lower_bound for next_geq, stable
+  re-sorts of the cursor array).
+
+Built lazily with the system C compiler into a per-source-hash cache
+dir under /tmp; loaded via cffi's ABI mode (no Python headers needed).
+Everything degrades to the Python path when a compiler is unavailable
+— tests assert C == Python exactly on random corpora.
+
+Reference behavior mirrored: wand_query/maxscore_query
+(/root/reference/include/ds2i/queries.hpp:190-307,459-573) and the
+topk_queue (:150-188).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+MAX_LISTS = 64
+
+_SRC = r"""
+#include <stdint.h>
+#include <stddef.h>
+
+typedef struct {
+    const uint32_t *docs;
+    const float    *w;
+    int64_t         n;
+    int64_t         pos;
+    uint32_t        cur;
+    float           max_weight;
+    int32_t         term_idx;     /* ascending-term original index */
+    const uint32_t *blast;        /* per-block last docid (may be NULL) */
+    const float    *bw;           /* per-block score bound (query-scaled) */
+    int64_t         nblocks;
+} List;
+
+typedef struct { float score; uint32_t doc; } Entry;
+
+typedef struct { Entry h[4096]; int size; int k; } Heap;
+
+/* min-heap: top = smallest score, ties -> LARGEST docid on top so the
+   smallest-docid tie survives eviction (topk.py keeps (score, -docid)) */
+static int entry_lt(Entry a, Entry b) {
+    if (a.score != b.score) return a.score < b.score;
+    return a.doc > b.doc;
+}
+
+static void heap_init(Heap *hp, int k) { hp->size = 0; hp->k = k; }
+
+static int heap_would_enter(const Heap *hp, float score) {
+    return hp->size < hp->k || score > hp->h[0].score;
+}
+
+static void heap_sift_down(Heap *hp, int i) {
+    for (;;) {
+        int l = 2 * i + 1, r = l + 1, m = i;
+        if (l < hp->size && entry_lt(hp->h[l], hp->h[m])) m = l;
+        if (r < hp->size && entry_lt(hp->h[r], hp->h[m])) m = r;
+        if (m == i) break;
+        Entry t = hp->h[i]; hp->h[i] = hp->h[m]; hp->h[m] = t;
+        i = m;
+    }
+}
+
+static int heap_insert(Heap *hp, float score, uint32_t doc) {
+    if (hp->size < hp->k) {
+        int i = hp->size++;
+        hp->h[i].score = score; hp->h[i].doc = doc;
+        while (i > 0) {
+            int p = (i - 1) / 2;
+            if (entry_lt(hp->h[i], hp->h[p])) {
+                Entry t = hp->h[i]; hp->h[i] = hp->h[p]; hp->h[p] = t;
+                i = p;
+            } else break;
+        }
+        return 1;
+    }
+    if (score > hp->h[0].score) {
+        hp->h[0].score = score; hp->h[0].doc = doc;
+        heap_sift_down(hp, 0);
+        return 1;
+    }
+    return 0;
+}
+
+/* (score desc, docid asc) */
+static int64_t heap_finalize(Heap *hp, int64_t *out_docs, float *out_scores) {
+    for (int i = 1; i < hp->size; i++) {
+        Entry e = hp->h[i];
+        int j = i - 1;
+        while (j >= 0 && (hp->h[j].score < e.score ||
+               (hp->h[j].score == e.score && hp->h[j].doc > e.doc))) {
+            hp->h[j + 1] = hp->h[j];
+            j--;
+        }
+        hp->h[j + 1] = e;
+    }
+    for (int i = 0; i < hp->size; i++) {
+        out_docs[i] = (int64_t)hp->h[i].doc;
+        out_scores[i] = hp->h[i].score;
+    }
+    return hp->size;
+}
+
+/* whole-array lower_bound, as numpy searchsorted(lb, 'left') */
+static void next_geq(List *L, uint32_t lb, uint32_t universe) {
+    if (L->cur >= lb) return;
+    int64_t lo = 0, hi = L->n;
+    const uint32_t *d = L->docs;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (d[mid] < lb) lo = mid + 1; else hi = mid;
+    }
+    L->pos = lo;
+    L->cur = lo < L->n ? d[lo] : universe;
+}
+
+static void advance(List *L, uint32_t universe) {
+    L->pos += 1;
+    L->cur = L->pos < L->n ? L->docs[L->pos] : universe;
+}
+
+/* stable insertion sort of the cursor array by (cur) */
+static void sort_by_cur(List **a, int n) {
+    for (int i = 1; i < n; i++) {
+        List *e = a[i];
+        int j = i - 1;
+        while (j >= 0 && a[j]->cur > e->cur) { a[j + 1] = a[j]; j--; }
+        a[j + 1] = e;
+    }
+}
+
+/* sum contributions in ascending term_idx order, float32 accumulate */
+static float sum_term_order(int32_t *terms, float *ws, int n) {
+    for (int i = 1; i < n; i++) {
+        int32_t t = terms[i]; float w = ws[i];
+        int j = i - 1;
+        while (j >= 0 && terms[j] > t) {
+            terms[j + 1] = terms[j]; ws[j + 1] = ws[j]; j--;
+        }
+        terms[j + 1] = t; ws[j + 1] = w;
+    }
+    float s = 0.0f;
+    for (int i = 0; i < n; i++) s = s + ws[i];
+    return s;
+}
+
+static void init_lists(List *ls, int n, const uint64_t *docs_ptrs,
+                       const uint64_t *w_ptrs, const int64_t *lens,
+                       const float *max_weights, uint32_t universe,
+                       const uint64_t *blast_ptrs, const uint64_t *bw_ptrs,
+                       const int64_t *nblocks) {
+    for (int i = 0; i < n; i++) {
+        ls[i].docs = (const uint32_t *)(uintptr_t)docs_ptrs[i];
+        ls[i].w = (const float *)(uintptr_t)w_ptrs[i];
+        ls[i].n = lens[i];
+        ls[i].pos = 0;
+        ls[i].cur = lens[i] > 0 ? ls[i].docs[0] : universe;
+        ls[i].max_weight = max_weights[i];
+        ls[i].term_idx = i;
+        if (blast_ptrs) {
+            ls[i].blast = (const uint32_t *)(uintptr_t)blast_ptrs[i];
+            ls[i].bw = (const float *)(uintptr_t)bw_ptrs[i];
+            ls[i].nblocks = nblocks[i];
+        } else {
+            ls[i].blast = 0; ls[i].bw = 0; ls[i].nblocks = 0;
+        }
+    }
+}
+
+int64_t wand_query(int n_lists, const uint64_t *docs_ptrs,
+                   const uint64_t *w_ptrs, const int64_t *lens,
+                   const float *max_weights, uint32_t universe, int k,
+                   int64_t *out_docs, float *out_scores) {
+    List ls[64];
+    List *ordered[64];
+    init_lists(ls, n_lists, docs_ptrs, w_ptrs, lens, max_weights, universe,
+               0, 0, 0);
+    for (int i = 0; i < n_lists; i++) ordered[i] = &ls[i];
+    sort_by_cur(ordered, n_lists);
+    Heap hp; heap_init(&hp, k);
+    int32_t cterms[64]; float cws[64];
+    for (;;) {
+        float ub = 0.0f;
+        int pivot = -1;
+        for (int idx = 0; idx < n_lists; idx++) {
+            if (ordered[idx]->cur >= universe) break;
+            ub = ub + ordered[idx]->max_weight;
+            if (heap_would_enter(&hp, ub)) { pivot = idx; break; }
+        }
+        if (pivot < 0) break;
+        uint32_t pivot_id = ordered[pivot]->cur;
+        if (pivot_id == ordered[0]->cur) {
+            int nc = 0;
+            for (int i = 0; i < n_lists; i++) {
+                if (ordered[i]->cur != pivot_id) break;
+                cterms[nc] = ordered[i]->term_idx;
+                cws[nc] = ordered[i]->w[ordered[i]->pos];
+                nc++;
+                advance(ordered[i], universe);
+            }
+            heap_insert(&hp, sum_term_order(cterms, cws, nc), pivot_id);
+            sort_by_cur(ordered, n_lists);
+        } else {
+            int nxt = pivot;
+            while (ordered[nxt]->cur == pivot_id) nxt--;
+            next_geq(ordered[nxt], pivot_id, universe);
+            int j = nxt + 1;
+            while (j < n_lists && ordered[j]->cur < ordered[j - 1]->cur) {
+                List *t = ordered[j]; ordered[j] = ordered[j - 1];
+                ordered[j - 1] = t;
+                j++;
+            }
+        }
+    }
+    return heap_finalize(&hp, out_docs, out_scores);
+}
+
+int64_t block_max_wand_query(int n_lists, const uint64_t *docs_ptrs,
+                             const uint64_t *w_ptrs, const int64_t *lens,
+                             const float *max_weights,
+                             const uint64_t *blast_ptrs,
+                             const uint64_t *bw_ptrs, const int64_t *nblocks,
+                             uint32_t universe, int k,
+                             int64_t *out_docs, float *out_scores) {
+    List ls[64];
+    List *ordered[64];
+    init_lists(ls, n_lists, docs_ptrs, w_ptrs, lens, max_weights, universe,
+               blast_ptrs, bw_ptrs, nblocks);
+    for (int i = 0; i < n_lists; i++) ordered[i] = &ls[i];
+    sort_by_cur(ordered, n_lists);
+    Heap hp; heap_init(&hp, k);
+    int32_t cterms[64]; float cws[64];
+    for (;;) {
+        float ub = 0.0f;
+        int pivot = -1;
+        for (int idx = 0; idx < n_lists; idx++) {
+            if (ordered[idx]->cur >= universe) break;
+            ub = ub + ordered[idx]->max_weight;
+            if (heap_would_enter(&hp, ub)) { pivot = idx; break; }
+        }
+        if (pivot < 0) break;
+        uint32_t pivot_id = ordered[pivot]->cur;
+
+        int end = pivot;
+        while (end + 1 < n_lists && ordered[end + 1]->cur == pivot_id) end++;
+
+        float block_ub = 0.0f;
+        uint32_t jump = universe;
+        for (int i = 0; i <= end; i++) {
+            List *L = ordered[i];
+            /* lower_bound over blast for pivot_id */
+            int64_t lo = 0, hi = L->nblocks;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) / 2;
+                if (L->blast[mid] < pivot_id) lo = mid + 1; else hi = mid;
+            }
+            if (lo < L->nblocks) {
+                block_ub = block_ub + L->bw[lo];
+                uint32_t nb = L->blast[lo] + 1;
+                if (nb < jump) jump = nb;
+            }
+        }
+        if (end + 1 < n_lists && ordered[end + 1]->cur < jump)
+            jump = ordered[end + 1]->cur;
+
+        if (!heap_would_enter(&hp, block_ub)) {
+            uint32_t target = jump > pivot_id + 1 ? jump : pivot_id + 1;
+            for (int i = 0; i < n_lists; i++)
+                if (ordered[i]->cur < target)
+                    next_geq(ordered[i], target, universe);
+            sort_by_cur(ordered, n_lists);
+            continue;
+        }
+
+        if (pivot_id == ordered[0]->cur) {
+            int nc = 0;
+            for (int i = 0; i < n_lists; i++) {
+                if (ordered[i]->cur != pivot_id) break;
+                cterms[nc] = ordered[i]->term_idx;
+                cws[nc] = ordered[i]->w[ordered[i]->pos];
+                nc++;
+                advance(ordered[i], universe);
+            }
+            heap_insert(&hp, sum_term_order(cterms, cws, nc), pivot_id);
+            sort_by_cur(ordered, n_lists);
+        } else {
+            int nxt = pivot;
+            while (ordered[nxt]->cur == pivot_id) nxt--;
+            next_geq(ordered[nxt], pivot_id, universe);
+            int j = nxt + 1;
+            while (j < n_lists && ordered[j]->cur < ordered[j - 1]->cur) {
+                List *t = ordered[j]; ordered[j] = ordered[j - 1];
+                ordered[j - 1] = t;
+                j++;
+            }
+        }
+    }
+    return heap_finalize(&hp, out_docs, out_scores);
+}
+
+int64_t maxscore_query(int n_lists, const uint64_t *docs_ptrs,
+                       const uint64_t *w_ptrs, const int64_t *lens,
+                       const float *max_weights, uint32_t universe, int k,
+                       int64_t *out_docs, float *out_scores) {
+    List ls[64];
+    List *ordered[64];
+    init_lists(ls, n_lists, docs_ptrs, w_ptrs, lens, max_weights, universe,
+               0, 0, 0);
+    for (int i = 0; i < n_lists; i++) ordered[i] = &ls[i];
+    /* stable sort by max_weight ascending (python sorted is stable) */
+    for (int i = 1; i < n_lists; i++) {
+        List *e = ordered[i];
+        int j = i - 1;
+        while (j >= 0 && ordered[j]->max_weight > e->max_weight) {
+            ordered[j + 1] = ordered[j]; j--;
+        }
+        ordered[j + 1] = e;
+    }
+    float ub[64];
+    ub[0] = ordered[0]->max_weight;
+    for (int i = 1; i < n_lists; i++)
+        ub[i] = ub[i - 1] + ordered[i]->max_weight;
+    Heap hp; heap_init(&hp, k);
+    int32_t cterms[64]; float cws[64];
+    int non_essential = 0;
+    uint32_t cur = universe;
+    for (int i = 0; i < n_lists; i++)
+        if (ordered[i]->cur < cur) cur = ordered[i]->cur;
+    while (non_essential < n_lists && cur < universe) {
+        int nc = 0;
+        float running = 0.0f;
+        uint32_t nxt = universe;
+        for (int i = non_essential; i < n_lists; i++) {
+            List *L = ordered[i];
+            if (L->cur == cur) {
+                float w = L->w[L->pos];
+                cterms[nc] = L->term_idx; cws[nc] = w; nc++;
+                running = running + w;
+                advance(L, universe);
+            }
+            if (L->cur < nxt) nxt = L->cur;
+        }
+        for (int i = non_essential - 1; i >= 0; i--) {
+            if (!heap_would_enter(&hp, running + ub[i])) break;
+            List *L = ordered[i];
+            next_geq(L, cur, universe);
+            if (L->cur == cur) {
+                float w = L->w[L->pos];
+                cterms[nc] = L->term_idx; cws[nc] = w; nc++;
+                running = running + w;
+            }
+        }
+        if (heap_insert(&hp, sum_term_order(cterms, cws, nc), cur)) {
+            while (non_essential < n_lists &&
+                   !heap_would_enter(&hp, ub[non_essential]))
+                non_essential++;
+        }
+        cur = nxt;
+    }
+    return heap_finalize(&hp, out_docs, out_scores);
+}
+"""
+
+_CDEF = """
+int64_t wand_query(int n_lists, const uint64_t *docs_ptrs,
+                   const uint64_t *w_ptrs, const int64_t *lens,
+                   const float *max_weights, uint32_t universe, int k,
+                   int64_t *out_docs, float *out_scores);
+int64_t block_max_wand_query(int n_lists, const uint64_t *docs_ptrs,
+                             const uint64_t *w_ptrs, const int64_t *lens,
+                             const float *max_weights,
+                             const uint64_t *blast_ptrs,
+                             const uint64_t *bw_ptrs, const int64_t *nblocks,
+                             uint32_t universe, int k,
+                             int64_t *out_docs, float *out_scores);
+int64_t maxscore_query(int n_lists, const uint64_t *docs_ptrs,
+                       const uint64_t *w_ptrs, const int64_t *lens,
+                       const float *max_weights, uint32_t universe, int k,
+                       int64_t *out_docs, float *out_scores);
+"""
+
+_lib = None
+_ffi = None
+_tried = False
+DISABLE = os.environ.get("DINT_RAY_NO_NATIVE", "") == "1"
+
+
+def _build_and_load():
+    import cffi
+
+    src_hash = hashlib.sha1(_SRC.encode()).hexdigest()[:12]
+    cache_dir = f"/tmp/dint_ray_native/{src_hash}"
+    so_path = os.path.join(cache_dir, "libdintkern.so")
+    if not os.path.exists(so_path):
+        os.makedirs(cache_dir, exist_ok=True)
+        c_path = os.path.join(cache_dir, "kernels.c")
+        with open(c_path + ".tmp", "w") as f:
+            f.write(_SRC)
+        os.replace(c_path + ".tmp", c_path)
+        # unique temp output + atomic rename: concurrent actor processes
+        # race benignly (identical artifacts)
+        fd, tmp_so = tempfile.mkstemp(dir=cache_dir, suffix=".so")
+        os.close(fd)
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+            check=True, capture_output=True)
+        os.replace(tmp_so, so_path)
+    ffi = cffi.FFI()
+    ffi.cdef(_CDEF)
+    return ffi, ffi.dlopen(so_path)
+
+
+def get_lib():
+    """(ffi, lib) or (None, None) when compilation is unavailable."""
+    global _lib, _ffi, _tried
+    if DISABLE:
+        return None, None
+    if not _tried:
+        _tried = True
+        try:
+            _ffi, _lib = _build_and_load()
+        except Exception:
+            _ffi, _lib = None, None
+    return _ffi, _lib
+
+
+def available() -> bool:
+    return get_lib()[1] is not None
+
+
+def _ptr_arrays(ffi, lists):
+    docs_ptrs = np.array([L.docs.ctypes.data for L in lists], dtype=np.uint64)
+    w_ptrs = np.array([L.w.ctypes.data for L in lists], dtype=np.uint64)
+    lens = np.array([L.n for L in lists], dtype=np.int64)
+    mws = np.array([L.max_weight for L in lists], dtype=np.float32)
+    return docs_ptrs, w_ptrs, lens, mws
+
+
+def _as(ffi, ctype, arr):
+    return ffi.cast(ctype, arr.ctypes.data)
+
+
+def run_topk(algo: str, lists, k: int, universe: int, blocks=None):
+    """lists: _ScoredList-shaped objects (contiguous uint32 .docs /
+    float32 .w / float .max_weight), in ascending term order.  blocks:
+    for block_max_wand, aligned [(last:uint32[], bw:float32[])].
+    Returns [(docid, score)] or None when the kernel can't run."""
+    ffi, lib = get_lib()
+    if lib is None or len(lists) > MAX_LISTS:
+        return None
+    for L in lists:
+        if L.docs.dtype != np.uint32 or not L.docs.flags.c_contiguous:
+            return None
+        if L.w.dtype != np.float32 or not L.w.flags.c_contiguous:
+            return None
+    docs_ptrs, w_ptrs, lens, mws = _ptr_arrays(ffi, lists)
+    out_docs = np.empty(k, dtype=np.int64)
+    out_scores = np.empty(k, dtype=np.float32)
+    n = len(lists)
+    if algo == "wand":
+        cnt = lib.wand_query(
+            n, _as(ffi, "uint64_t *", docs_ptrs), _as(ffi, "uint64_t *", w_ptrs),
+            _as(ffi, "int64_t *", lens), _as(ffi, "float *", mws),
+            universe, k, _as(ffi, "int64_t *", out_docs),
+            _as(ffi, "float *", out_scores))
+    elif algo == "maxscore":
+        cnt = lib.maxscore_query(
+            n, _as(ffi, "uint64_t *", docs_ptrs), _as(ffi, "uint64_t *", w_ptrs),
+            _as(ffi, "int64_t *", lens), _as(ffi, "float *", mws),
+            universe, k, _as(ffi, "int64_t *", out_docs),
+            _as(ffi, "float *", out_scores))
+    elif algo == "block_max_wand":
+        assert blocks is not None and len(blocks) == n
+        keep = []  # hold refs so arrays outlive the call
+        blast_ptrs = np.empty(n, dtype=np.uint64)
+        bw_ptrs = np.empty(n, dtype=np.uint64)
+        nblocks = np.empty(n, dtype=np.int64)
+        for i, (last, bw) in enumerate(blocks):
+            last = np.ascontiguousarray(last, dtype=np.uint32)
+            bw = np.ascontiguousarray(bw, dtype=np.float32)
+            keep.append((last, bw))
+            blast_ptrs[i] = last.ctypes.data
+            bw_ptrs[i] = bw.ctypes.data
+            nblocks[i] = len(last)
+        cnt = lib.block_max_wand_query(
+            n, _as(ffi, "uint64_t *", docs_ptrs), _as(ffi, "uint64_t *", w_ptrs),
+            _as(ffi, "int64_t *", lens), _as(ffi, "float *", mws),
+            _as(ffi, "uint64_t *", blast_ptrs), _as(ffi, "uint64_t *", bw_ptrs),
+            _as(ffi, "int64_t *", nblocks),
+            universe, k, _as(ffi, "int64_t *", out_docs),
+            _as(ffi, "float *", out_scores))
+    else:
+        return None
+    return [(int(out_docs[i]), float(out_scores[i])) for i in range(cnt)]

@@ -68,9 +68,14 @@ def _shingles(text: str, k: int) -> set:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
+# Shingle identities are md5 prefixes so a DuckDB oracle can reproduce
+# them bit-for-bit:  sid60 = ('0x' || substr(md5(s),1,15))::BIGINT and
+# sid32 = ('0x' || substr(md5(s),1,8))::BIGINT.  sid60 (60 bits) keys
+# the exact-Jaccard verify; sid32 (32 bits) feeds the minhash so that
+# (a*x + b) mod p stays exact in BOTH int64 SQL and uint64 numpy.
+_MH_PRIME = np.uint64(2147483647)   # 2^31 - 1 (Mersenne)
 _MH_A = None
 _MH_B = None
-_MH_PRIME = np.uint64((1 << 61) - 1)
 
 
 def _mh_params(num_hashes: int, seed: int = 1234):
@@ -82,19 +87,39 @@ def _mh_params(num_hashes: int, seed: int = 1234):
     return _MH_A, _MH_B
 
 
-def minhash_signature(text: str, num_hashes: int = 64, shingle_k: int = 3) -> np.ndarray:
-    """(a*x + b) mod p universal-hash MinHash over crc32 shingle ids."""
-    sh = _shingles(text, shingle_k)
+def _shingle_digests(text: str, k: int):
+    """(sid60, sid32) uint64 arrays over the DISTINCT shingle set."""
+    import hashlib
+
+    sh = _shingles(text.lower(), k)
     if not sh:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    hx = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+    s60 = np.unique(np.asarray([int(h[:15], 16) for h in hx], dtype=np.uint64))
+    s32 = np.asarray(sorted({int(h[:8], 16) for h in hx}), dtype=np.uint64)
+    return s60, s32
+
+
+def minhash_signature(sid32: np.ndarray, num_hashes: int = 64) -> np.ndarray:
+    """(a*x + b) mod p universal-hash MinHash over 32-bit shingle ids;
+    products stay < 2^63, so the arithmetic is exact (and matches the
+    BIGINT SQL oracle term-for-term)."""
+    if not len(sid32):
         return np.full(num_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
-    ids = np.asarray([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
     a, b = _mh_params(num_hashes)
-    with np.errstate(over="ignore"):
-        hv = (ids[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
+    hv = (sid32[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
     return hv.min(axis=0)
 
 
 class MinHasher:
+    """doc batch -> exploded (band_id, band_key, doc_id) rows.
+
+    band_key is the EXACT band tuple packed big-endian into bytes (not
+    a hash of it), so two docs share a key iff their band minima are
+    identical — candidate generation is deterministic and reproducible
+    by the SQL oracle's string_agg band key."""
+
     def __init__(self, num_hashes: int = 64, shingle_k: int = 3, bands: int = 16):
         assert num_hashes % bands == 0
         self.num_hashes = num_hashes
@@ -103,21 +128,23 @@ class MinHasher:
         self.rows = num_hashes // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc batch -> exploded (band_id, band_hash, doc_id) rows."""
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([minhash_signature(t, self.num_hashes, self.shingle_k)
-                         for t in texts])
-        out_band, out_hash, out_doc = [], [], []
+        sigs = np.stack([
+            minhash_signature(_shingle_digests(t, self.shingle_k)[1],
+                              self.num_hashes)
+            for t in texts]) if len(texts) else np.empty((0, self.num_hashes),
+                                                         np.uint64)
+        out_band, out_key, out_doc = [], [], []
         for bnd in range(self.bands):
             seg = sigs[:, bnd * self.rows : (bnd + 1) * self.rows]
-            bh = [zlib.crc32(row.tobytes()) for row in seg]
+            seg_be = seg.astype(">u8")
+            out_key.extend(row.tobytes() for row in seg_be)
             out_band.extend([bnd] * len(ids))
-            out_hash.extend(bh)
             out_doc.extend(ids.tolist())
         return pa.table({
             "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(np.asarray(out_hash, np.int64), pa.int64()),
+            "band_hash": pa.array(out_key, pa.binary()),
             "doc_id": pa.array(np.asarray(out_doc, np.int64), pa.int64()),
         })
 
@@ -128,9 +155,14 @@ _PAIR_BUCKETS = 64
 def _add_pair_bucket(batch: pa.Table) -> pa.Table:
     """Coarse shuffle key: co-locates equal (band_id, band_hash) rows
     while keeping the group count bounded (one UDF call per bucket,
-    not per band value)."""
+    not per band value).  band_hash may be int64 (simhash) or binary
+    (minhash band tuples)."""
     band = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    h = batch.column("band_hash").to_numpy(zero_copy_only=False)
+    col = batch.column("band_hash")
+    if pa.types.is_binary(col.type):
+        h = np.asarray([zlib.crc32(v) for v in col.to_pylist()], dtype=np.int64)
+    else:
+        h = col.to_numpy(zero_copy_only=False)
     b = ((h * 1000003 + band) % _PAIR_BUCKETS).astype(np.int32)
     return batch.append_column("bucket", pa.array(b, pa.int32()))
 
@@ -169,45 +201,59 @@ def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
     return pairs
 
 
-class JaccardVerifier:
-    """Verify candidate pairs against true shingle-set Jaccard.
+class _ShingleSets:
+    """(doc_id, text) batch -> (doc_id, sids: list<uint64>) rows: the
+    sorted distinct md5-60 shingle-id set per document."""
 
-    The documents table is broadcast (ray.put) — the small side of the
-    join; candidate pairs stream through."""
-
-    def __init__(self, texts_ref, shingle_k: int, threshold: float):
-        import ray
-
-        self.texts: dict[int, str] = ray.get(texts_ref)
-        self.k = shingle_k
-        self.threshold = threshold
-        self._cache: dict[int, set] = {}
-
-    def _sh(self, doc: int) -> set:
-        s = self._cache.get(doc)
-        if s is None:
-            s = _shingles(self.texts[doc], self.k)
-            self._cache[doc] = s
-        return s
+    def __init__(self, k: int) -> None:
+        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        keep_a, keep_b = [], []
-        for x, y in zip(a, b):
-            sa, sb = self._sh(int(x)), self._sh(int(y))
-            union = len(sa | sb)
-            if union and len(sa & sb) / union >= self.threshold:
-                keep_a.append(int(x))
-                keep_b.append(int(y))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sets = [_shingle_digests(t, self.k)[0] for t in texts]
+        # bytes, not list<uint64>: Acero hash joins only carry
+        # fixed-width/binary non-key fields
         return pa.table({
-            "doc_a": pa.array(keep_a, pa.int64()),
-            "doc_b": pa.array(keep_b, pa.int64()),
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "sids": pa.array([s.tobytes() for s in sets], pa.binary()),
         })
 
 
-def minhash_dedup_pairs_ds(docs_ds, texts_ref, num_hashes=64, shingle_k=3,
-                           bands=16, threshold=0.8, concurrency: int = 8):
+def _verify_jaccard(batch: pa.Table, *, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sids_a, sids_b) -> pairs with exact shingle-set
+    Jaccard >= threshold (sorted-array intersections, no Python sets)."""
+    out_a, out_b = [], []
+    a_col = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    b_col = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    sa_col = batch.column("sids_a")
+    sb_col = batch.column("sids_b")
+    for i in range(len(a_col)):
+        sa = np.frombuffer(sa_col[i].as_py(), dtype=np.uint64)
+        sb = np.frombuffer(sb_col[i].as_py(), dtype=np.uint64)
+        union = len(sa) + len(sb)
+        if union == 0:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        if inter / (union - inter) >= threshold:
+            out_a.append(int(a_col[i]))
+            out_b.append(int(b_col[i]))
+    return pa.table({
+        "doc_a": pa.array(out_a, pa.int64()),
+        "doc_b": pa.array(out_b, pa.int64()),
+    })
+
+
+def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
+                           bands=16, threshold=0.8, concurrency: int = 8,
+                           num_partitions: int = 16):
+    """LSH candidates -> exact-Jaccard verification via two distributed
+    hash joins (pairs x shingle-sets on doc_a, then doc_b) — no corpus
+    broadcast anywhere, so the verify scales with the candidate count
+    and the join partitioning, not with driver memory.
+
+    Deterministic and SQL-reproducible end to end: md5-prefix shingle
+    ids, exact (a*x+b) mod 2^31-1 minhash, exact band-tuple keys."""
     from ray.data.aggregate import Count
 
     cands = minhash_candidates_ds(docs_ds, num_hashes, shingle_k, bands,
@@ -215,14 +261,100 @@ def minhash_dedup_pairs_ds(docs_ds, texts_ref, num_hashes=64, shingle_k=3,
     # dedupe candidate pairs before the (expensive) verify: native
     # groupby-aggregate (keys-only distinct), no per-group Python
     uniq = (cands.groupby(["doc_a", "doc_b"]).aggregate(Count())
-            .select_columns(["doc_a", "doc_b"]))
-    return uniq.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"texts_ref": texts_ref,
-                               "shingle_k": shingle_k, "threshold": threshold},
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, concurrency), num_cpus=1,
-    )
+            .select_columns(["doc_a", "doc_b"])
+            .map_batches(_typed_pairs, batch_format="pyarrow"))
+    sh = docs_ds.map_batches(
+        _ShingleSets, fn_constructor_kwargs={"k": shingle_k},
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, concurrency), num_cpus=1)
+    j1 = _attach_binary(uniq, sh, key_col="doc_a", out_col="sids_a",
+                        carry=[], num_partitions=num_partitions)
+    j2 = _attach_binary(j1, sh, key_col="doc_b", out_col="sids_b",
+                        carry=["sids_a"], num_partitions=num_partitions)
+    return j2.map_batches(_verify_jaccard, fn_kwargs={"threshold": threshold},
+                          batch_format="pyarrow", batch_size=4096,
+                          num_cpus=1)
+
+
+def _typed_pairs(batch: pa.Table) -> pa.Table:
+    if "doc_a" not in batch.column_names:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.table({"doc_a": batch.column("doc_a").cast(pa.int64()),
+                     "doc_b": batch.column("doc_b").cast(pa.int64())})
+
+
+def _attach_binary(pairs_ds, sh_ds, *, key_col: str, out_col: str,
+                   carry: list, num_partitions: int):
+    """Distributed hash join: attach sh_ds's binary ``sids`` to each
+    pair row where ``pairs.key_col == sh.doc_id`` (inner).
+
+    Shape: tag both sides into one schema, union, hash-repartition by
+    key (all rows of one key land in one partition), then a vectorized
+    per-partition kernel builds the key->sids lookup from the corpus
+    rows and answers the pair rows — no driver state, no broadcast.
+    This replaces ray.data's join operator, whose nested aggregator
+    pools can starve under small CPU budgets."""
+    e_bin = b""
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "key": b.column(key_col).cast(pa.int64()),
+            "doc_a": b.column("doc_a").cast(pa.int64()),
+            "doc_b": b.column("doc_b").cast(pa.int64()),
+            "payload": pa.array([e_bin] * n, pa.binary()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+        }
+        for c in carry:
+            cols[c] = b.column(c)
+        return pa.table(cols)
+
+    def tag_corpus(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        z = pa.array(np.full(n, -1, np.int64), pa.int64())
+        cols = {
+            "key": b.column("doc_id").cast(pa.int64()),
+            "doc_a": z,
+            "doc_b": z,
+            "payload": b.column("sids").cast(pa.binary()),
+            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+        }
+        for c in carry:
+            cols[c] = pa.array([e_bin] * n, pa.binary())
+        return pa.table(cols)
+
+    u = (pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+         .union(sh_ds.map_batches(tag_corpus, batch_format="pyarrow"))
+         .repartition(num_partitions, keys=["key"], sort=False))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        out_cols = ["doc_a", "doc_b", *carry, out_col]
+        if batch.num_rows == 0 or "kind" not in batch.column_names:
+            return pa.table({c: pa.array([], pa.int64() if c.startswith("doc")
+                                         else pa.binary()) for c in out_cols})
+        kind = batch.column("kind").to_numpy()
+        keys = batch.column("key").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        lut = {int(k): payloads[i]
+               for i, k in enumerate(keys) if kind[i] == 1}
+        sel = np.flatnonzero(kind == 0)
+        keep, vals = [], []
+        for i in sel:
+            v = lut.get(int(keys[i]))
+            if v is not None:
+                keep.append(i)
+                vals.append(v)
+        sub = batch.take(np.asarray(keep, dtype=np.int64)) if keep else \
+            batch.slice(0, 0)
+        arrays = {"doc_a": sub.column("doc_a"), "doc_b": sub.column("doc_b")}
+        for c in carry:
+            arrays[c] = sub.column(c)
+        arrays[out_col] = pa.array(vals, pa.binary())
+        return pa.table(arrays)
+
+    return u.map_batches(attach, batch_format="pyarrow", batch_size=None,
+                         num_cpus=1)
 
 
 # --------------------------------------------------------------------------
@@ -259,19 +391,39 @@ class SimHasher:
         })
 
 
+def _simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: ``max_hamming + 1`` bands splitting the
+    64 signature bits as evenly as possible.  Pigeonhole: a pair with
+    Hamming distance <= max_hamming differs in at most max_hamming
+    bands, so it SHARES at least one of the max_hamming+1 bands —
+    recall 1 at the requested threshold (the round-1 fixed 4x16-bit
+    banding only guaranteed Hamming<=3)."""
+    nb = min(max_hamming + 1, 64)
+    base, extra = divmod(64, nb)
+    out, shift = [], 0
+    for i in range(nb):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
-    """Near-dup pairs by SimHash: bucket on each of 4 16-bit bands (any
-    pair within Hamming<=3 shares at least one band), verify distance."""
+    """Near-dup pairs by SimHash: bucket on each of ``max_hamming+1``
+    bit-bands (any pair within Hamming<=max_hamming shares at least one
+    band), verify distance."""
     sigs = docs_ds.map_batches(SimHasher, batch_format="pyarrow",
                                batch_size=1024, concurrency=(1, concurrency),
                                num_cpus=1)
+    band_spec = _simhash_bands(max_hamming)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         s = batch.column("simhash").to_numpy().view(np.uint64)
         bands, hashes, docs, full = [], [], [], []
-        for bnd in range(4):
-            seg = ((s >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(np.int64)
+        for bnd, (shift, width) in enumerate(band_spec):
+            mask = np.uint64((1 << width) - 1)
+            seg = ((s >> np.uint64(shift)) & mask).astype(np.int64)
             bands.extend([bnd] * len(ids))
             hashes.extend(seg.tolist())
             docs.extend(ids.tolist())

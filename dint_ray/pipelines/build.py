@@ -447,7 +447,8 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
 
         # --- stage 6: dictionaries (driver; stats are tiny) ---
         dict_path = os.path.join(out_dir, f"dicts_{kind}.npz")
-        if os.path.exists(dict_path + ".docs.npz"):
+        if (os.path.exists(dict_path + ".docs.npz")
+                and os.path.exists(dict_path + ".freqs.npz")):
             docs_dict = load_dict(dict_path + ".docs.npz")
             freqs_dict = load_dict(dict_path + ".freqs.npz")
             dicts = BuiltDicts(kind=kind, docs_dict=docs_dict,
@@ -455,8 +456,14 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         else:
             dicts = _dicts_from_stats(stats_docs, stats_freqs, kind, cfg)
             saver = save_single if kind == "single_packed" else save_multi
-            saver(dict_path + ".docs.npz", dicts.docs_dict)
-            saver(dict_path + ".freqs.npz", dicts.freqs_dict)
+            # crash-safe: write both to temp paths, then atomically
+            # publish (resume gates on BOTH files existing, so a crash
+            # between the two replaces never looks done)
+            for suffix, d in ((".docs.npz", dicts.docs_dict),
+                              (".freqs.npz", dicts.freqs_dict)):
+                tmp = dict_path + suffix + ".tmp.npz"
+                saver(tmp, d)
+                os.replace(tmp, dict_path + suffix)
         t = _tick("dictionaries", t)
 
     # --- stage 7: encode + shard write ---

@@ -13,8 +13,12 @@ Determinism fixes (documented deviations, SURVEY.md §2.11/§7.4):
 - per-doc float32 contributions are summed in ascending term_id order
   in *every* algorithm (the reference sums in enumerator order, which
   is unspecified for equal docids / equal list sizes);
-- query terms missing from the index are skipped (the reference
-  assumes all query term-ids exist).
+- OR-family algorithms skip query terms missing from the index (the
+  reference assumes all query term-ids exist); AND-family algorithms
+  (``and_count``/``and_docs``/``ranked_and``) return empty when ANY
+  distinct query term is absent — a document cannot contain a term
+  with no posting list, so the conjunction is unsatisfiable.  This
+  matches the SQL oracles (nhit = count of ALL distinct query terms).
 """
 
 from __future__ import annotations
@@ -41,12 +45,21 @@ def _present(index, terms):
     return [t for t in terms if t in index]
 
 
+def _all_present(index, terms):
+    """Distinct terms if every one has a posting list, else None (the
+    conjunction is unsatisfiable when any term is absent)."""
+    distinct = remove_duplicate_terms(terms)
+    if any(t not in index for t in distinct):
+        return None
+    return distinct
+
+
 # --------------------------------------------------------------------------
 # boolean
 # --------------------------------------------------------------------------
 
 def and_count(index, terms: list[int]) -> int:
-    terms = _present(index, remove_duplicate_terms(terms))
+    terms = _all_present(index, terms)
     if not terms:
         return 0
     enums = [index.enumerator(t) for t in terms]
@@ -75,7 +88,7 @@ def and_docs(index, terms: list[int]) -> list[int]:
     """Leapfrog intersection emitting the matched docIDs (the
     pair_wise_intersect harness shape,
     /root/reference/src/pair_wise_intersect.cpp:28-59)."""
-    terms = _present(index, remove_duplicate_terms(terms))
+    terms = _all_present(index, terms)
     if not terms:
         return []
     enums = [index.enumerator(t) for t in terms]
@@ -257,6 +270,8 @@ def ranked_or_fast(index, wdata: WandData, terms: list[int], k: int = 10, dtype=
 
 def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
     topk = TopK(k)
+    if _all_present(index, terms) is None:
+        return []
     lists = _scored_lists(index, wdata, terms, dtype=dtype)
     if not lists:
         return []
@@ -281,11 +296,18 @@ def ranked_and(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.f
     return topk.finalize()
 
 
-def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
+def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32,
+         native: bool | None = None):
     topk = TopK(k)
     lists = _scored_lists(index, wdata, terms, with_bounds=True, dtype=dtype)
     if not lists:
         return []
+    if native is not False and dtype is np.float32:
+        from dint_ray import native as nat
+
+        res = nat.run_topk("wand", lists, k, index.num_docs)
+        if res is not None:
+            return res
     num_docs = index.num_docs
     ordered = sorted(lists, key=lambda L: L.cur)
     while True:
@@ -322,11 +344,18 @@ def wand(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32
     return topk.finalize()
 
 
-def maxscore(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.float32):
+def maxscore(index, wdata: WandData, terms: list[int], k: int = 10,
+             dtype=np.float32, native: bool | None = None):
     topk = TopK(k)
     lists = _scored_lists(index, wdata, terms, with_bounds=True, dtype=dtype)
     if not lists:
         return []
+    if native is not False and dtype is np.float32:
+        from dint_ray import native as nat
+
+        res = nat.run_topk("maxscore", lists, k, index.num_docs)
+        if res is not None:
+            return res
     num_docs = index.num_docs
     ordered = sorted(lists, key=lambda L: L.max_weight)
     ub = np.zeros(len(ordered), dtype=dtype)
@@ -367,7 +396,7 @@ def maxscore(index, wdata: WandData, terms: list[int], k: int = 10, dtype=np.flo
 
 
 def block_max_wand(index, wdata: WandData, terms: list[int], k: int = 10,
-                   dtype=np.float32):
+                   dtype=np.float32, native: bool | None = None):
     """Block-max WAND (Ding & Suel 2011) over per-256-block score
     maxima — the tighter pruning layer the north star names on top of
     the reference's classic term-bound WAND (queries.hpp:190-307).
@@ -393,6 +422,14 @@ def block_max_wand(index, wdata: WandData, terms: list[int], k: int = 10,
         last, bmax = index.block_bounds(L.term, norms, dtype)
         qw = query_term_weight(qf_of[L.term], L.n, num_docs, dtype)
         blocks[L.term] = (last, (dtype(qw) * bmax).astype(dtype, copy=False))
+
+    if native is not False and dtype is np.float32:
+        from dint_ray import native as nat
+
+        res = nat.run_topk("block_max_wand", lists, k, num_docs,
+                           blocks=[blocks[L.term] for L in lists])
+        if res is not None:
+            return res
 
     ordered = sorted(lists, key=lambda L: L.cur)
     while True:

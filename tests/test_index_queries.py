@@ -166,3 +166,38 @@ def test_block_max_wand_rank_identity():
         np.testing.assert_array_equal(
             np.asarray([s for _, s in got], np.float32),
             np.asarray([s for _, s in want], np.float32))
+
+
+def test_and_family_empty_on_missing_term(corpus):
+    """AND semantics with an out-of-vocabulary term: unsatisfiable
+    (matches the SQL oracles, which count ALL distinct query terms)."""
+    built, _ = corpus
+    idx, wd = built.index, built.wand
+    present = [t for t in (0, 1) if t in idx]
+    missing = 10_000_000  # far beyond any vocab
+    q = present + [missing]
+    assert qa.and_count(idx, q) == 0
+    assert qa.and_docs(idx, q) == []
+    assert qa.ranked_and(idx, wd, q, k=10) == []
+    # OR-family still scores the present terms
+    assert qa.or_count(idx, q) > 0
+    assert qa.ranked_or(idx, wd, q, k=10)
+
+
+def test_native_kernels_match_python(corpus):
+    """C kernels must be float32-exact vs the pure-Python reference
+    implementations — same docids AND bitwise-equal scores."""
+    from dint_ray import native
+
+    if not native.available():
+        pytest.skip("no C compiler available")
+    built, queries = corpus
+    idx, wd = built.index, built.wand
+    checked = 0
+    for q in queries:
+        for algo in (qa.wand, qa.maxscore, qa.block_max_wand):
+            got = algo(idx, wd, q, k=10)            # native path
+            want = algo(idx, wd, q, k=10, native=False)
+            assert got == want, f"{algo.__name__} diverges for {q}"
+        checked += 1
+    assert checked == len(queries)
