@@ -680,6 +680,32 @@ def q_block_max_wand(sf_dir: str):
     return _run_conformance(sf_dir, "block_max_wand")
 
 
+def _run_routed(sf_dir: str, algo: str, mode: str, num_buckets: int = 4):
+    """Routed doc-partitioned conformance serving: every bucket owner
+    scores its own slice (quantized-BIGINT math, global df/N/avg), the
+    router merges per-bucket top-k exactly — no whole-index actor
+    anywhere (SURVEY.md §2.6 J3; pipelines/partitioned.py)."""
+    from dint_ray.pipelines.partitioned import run_queries_routed
+
+    idir = ensure_index(sf_dir, "single_packed")
+    qds = _query_ds(QUERY_LOG)
+    return run_queries_routed(qds, idir, algo=algo, k=K,
+                              num_buckets=num_buckets, quantized=True,
+                              mode=mode)
+
+
+def q_wand_routed(sf_dir: str):
+    return _run_routed(sf_dir, "wand", "ranked_or")
+
+
+def q_maxscore_routed(sf_dir: str):
+    return _run_routed(sf_dir, "maxscore", "ranked_or")
+
+
+def q_ranked_and_routed(sf_dir: str):
+    return _run_routed(sf_dir, "ranked_and", "ranked_and")
+
+
 def q_bool_counts(sf_dir: str):
     return _run_conformance(sf_dir, "counts")
 
@@ -813,6 +839,9 @@ def registry():
         "bm25_wand": (q_wand, SQL_RANKED_OR),
         "bm25_maxscore": (q_maxscore, SQL_RANKED_OR),
         "bm25_block_max_wand": (q_block_max_wand, SQL_RANKED_OR),
+        "bm25_wand_routed": (q_wand_routed, SQL_RANKED_OR),
+        "bm25_maxscore_routed": (q_maxscore_routed, SQL_RANKED_OR),
+        "bm25_ranked_and_routed": (q_ranked_and_routed, SQL_RANKED_AND),
         "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),
         "pairwise_intersect": (q_pairwise_intersect, SQL_PAIRWISE_INTERSECT),
         "text_stats": (q_text_stats, SQL_TEXT_STATS),

@@ -292,25 +292,33 @@ class ScorerActor:
 
 def run_queries_ray(queries_ds, index_dir: str, algo: str = "wand",
                     k: int = 10, concurrency: int = 8, batch_size: int = 64,
-                    broadcast: bool = True):
+                    broadcast: bool = False, num_buckets: int | None = None):
     """queries Dataset -> (query_id, rank, doc_id, score) Dataset.
 
-    With ``broadcast`` (default) the index is loaded once on the driver
-    and shipped to the actor pool via ray.put — right whenever the
-    per-actor shard set fits memory; at 10^12-doc scale switch it off
-    and give each actor its hash-partitioned shard subset instead."""
-    kwargs = {"algo": algo, "k": k}
-    if broadcast:
-        import ray
+    Default path is ROUTED doc-partitioned serving (each scorer actor
+    owns one doc bucket, decoded locally — pipelines/partitioned.py):
+    the shape that survives 10^12 docs.  ``broadcast=True`` keeps the
+    single shared-image path (driver decodes once, ships via ray.put) —
+    right when the whole index fits one worker's memory and lowest
+    latency is wanted at test scale."""
+    if not broadcast and algo in ("wand", "maxscore", "block_max_wand",
+                                  "ranked_or", "ranked_and"):
+        from dint_ray.pipelines.partitioned import run_queries_routed
 
-        key = os.path.abspath(index_dir)
-        ref = _REF_CACHE.get(key)
-        if ref is None:
-            index, wand, _ = build_shared_index(index_dir)
-            ref = _REF_CACHE[key] = ray.put((index, wand))
-        kwargs["index_ref"] = ref
-    else:
-        kwargs["index_dir"] = index_dir
+        buckets = num_buckets or max(2, concurrency // 2)
+        return run_queries_routed(
+            queries_ds, index_dir, algo=algo, k=k, num_buckets=buckets,
+            router_concurrency=max(2, concurrency - buckets),
+            batch_size=batch_size)
+    kwargs = {"algo": algo, "k": k}
+    import ray
+
+    key = os.path.abspath(index_dir)
+    ref = _REF_CACHE.get(key)
+    if ref is None:
+        index, wand, _ = build_shared_index(index_dir)
+        ref = _REF_CACHE[key] = ray.put((index, wand))
+    kwargs["index_ref"] = ref
     return queries_ds.map_batches(
         ScorerActor,
         fn_constructor_kwargs=kwargs,

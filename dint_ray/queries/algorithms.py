@@ -182,6 +182,14 @@ class _ScoredList:
             self.cur = int(self.docs[p]) if p < self.n else self.universe
 
 
+def _df_of(index, term, docs):
+    """Collection-level document frequency: the local list length on a
+    whole-collection index, or the GLOBAL df carried by a
+    doc-partitioned slice (partitioned.py) so qw matches everywhere."""
+    dfg = getattr(index, "df_global", None)
+    return int(dfg[term]) if dfg is not None else len(docs)
+
+
 def _scored_lists(index, wdata: WandData, terms, with_bounds=False, dtype=np.float32):
     lists = []
     norms = wdata.norms(dtype)
@@ -190,7 +198,7 @@ def _scored_lists(index, wdata: WandData, terms, with_bounds=False, dtype=np.flo
         if term not in index:
             continue
         docs, _ = index.cached_decode(term)
-        qw = query_term_weight(qf, len(docs), num_docs, dtype)
+        qw = query_term_weight(qf, _df_of(index, term, docs), num_docs, dtype)
         dtw = index.doc_term_weights(term, norms, dtype)
         w = (dtype(qw) * dtw).astype(dtype, copy=False)
         if with_bounds:
@@ -420,7 +428,8 @@ def block_max_wand(index, wdata: WandData, terms: list[int], k: int = 10,
     blocks = {}
     for L in lists:
         last, bmax = index.block_bounds(L.term, norms, dtype)
-        qw = query_term_weight(qf_of[L.term], L.n, num_docs, dtype)
+        qw = query_term_weight(qf_of[L.term], _df_of(index, L.term, L.docs),
+                               num_docs, dtype)
         blocks[L.term] = (last, (dtype(qw) * bmax).astype(dtype, copy=False))
 
     if native is not False and dtype is np.float32:

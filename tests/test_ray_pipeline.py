@@ -176,3 +176,58 @@ def test_build_resume_from_checkpoints(built, tmp_path):
     new_hash = {os.path.basename(p): hashlib.sha1(open(p, "rb").read()).hexdigest()
                 for p in glob.glob(os.path.join(resume_dir, "shard-*.parquet"))}
     assert new_hash == orig_hash
+
+
+def test_routed_matches_broadcast(built):
+    """Doc-partitioned routed serving must be rank- AND score-identical
+    to the single-shared-image path for every heap algorithm."""
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    queries = generate_queries(30, vocab.size, seed=13)
+    for algo in ("wand", "maxscore", "ranked_or"):
+        ref = run_queries_ray(queries_to_dataset(queries), out_dir,
+                              algo=algo, k=10, concurrency=2,
+                              broadcast=True).to_pandas()
+        ref = ref.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        got = run_queries_ray(queries_to_dataset(queries), out_dir,
+                              algo=algo, k=10, concurrency=4,
+                              num_buckets=3).to_pandas()
+        got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist(), algo
+        np.testing.assert_array_equal(got["score"].to_numpy(),
+                                      ref["score"].to_numpy())
+
+
+def test_routed_quantized_conformance(built):
+    """Quantized routed scoring (global df / N / avg inside bucket
+    owners) equals the whole-index quantized order."""
+    from dint_ray.pipelines.partitioned import run_queries_routed
+
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    local = build_index_local(oracle, sizes, num_docs, kind="single_packed")
+    queries = generate_queries(20, vocab.size, seed=21)
+    got = run_queries_routed(queries_to_dataset(queries), out_dir,
+                             algo="ranked_or", k=10, num_buckets=3,
+                             quantized=True, mode="ranked_or").to_pandas()
+    # whole-index quantized reference (same arithmetic, no partitioning)
+    sz64 = np.asarray(sizes, dtype=np.float64)
+    N = np.float64(num_docs)
+    avg = np.float64(sz64.sum() / num_docs)
+    for qid, q in enumerate(queries):
+        acc = {}
+        for term, qf in qa.query_freqs(q):
+            if term not in local.index:
+                continue
+            docs, freqs = local.index.decode(term)
+            df = np.float64(len(docs))
+            g = max(np.float64(1e-6), np.log((N - df + 0.5) / (df + 0.5)))
+            qtw = np.float64(qf) * g * 2.2
+            tf = freqs.astype(np.float64)
+            lens = sz64[docs]
+            cu = np.floor(qtw * tf / (tf + 1.2 * (0.5 + 0.5 * (lens / avg)))
+                          * 1e15 + 0.5).astype(np.int64)
+            for d, v in zip(docs.astype(np.int64), cu):
+                acc[int(d)] = acc.get(int(d), 0) + int(v)
+        want = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub["doc_id"].tolist() == [d for d, _ in want], f"q{qid}"
+        assert sub["score_u"].tolist() == [s for _, s in want], f"q{qid}"
