@@ -101,22 +101,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # they pay pointer-chasing cost for no skipped postings).
     qlog = generate_queries(NUM_QUERIES, manifest["num_terms"])
     qds = queries_to_dataset(qlog)
-    # untimed warmup (the reference's pass 0, queries.cpp:104-111):
-    # builds + broadcasts the shared scored index once
+    # untimed warmups (the reference's pass 0, queries.cpp:104-111):
+    # routed = serve-layout build + bucket-owner init; broadcast =
+    # shared scored image build
     run_queries_ray(qds.limit(32), out_dir, algo="wand", k=K,
                     concurrency=num_cpus).count()
-    for algo, tag in (("ranked_or_fast", "bm25_serve"),
-                      ("wand", "bm25_wand_serve"),
-                      ("maxscore", "bm25_maxscore_serve")):
+    run_queries_ray(qds.limit(32), out_dir, algo="wand", k=K,
+                    concurrency=num_cpus, broadcast=True).count()
+    for algo, tag, bcast in (("ranked_or_fast", "bm25_serve", True),
+                             ("wand", "bm25_wand_serve", False),
+                             ("wand", "bm25_wand_broadcast", True),
+                             ("maxscore", "bm25_maxscore_serve", False)):
         t0 = time.time()
         res = run_queries_ray(qds, out_dir, algo=algo, k=K,
-                              concurrency=num_cpus, batch_size=32)
+                              concurrency=num_cpus, batch_size=32,
+                              broadcast=bcast)
         nrows = res.count()
         times[tag] = time.time() - t0
         assert nrows > 0
     extra["queries_per_sec"] = round(NUM_QUERIES / times["bm25_serve"], 1)
     extra["wand_queries_per_sec"] = round(
         NUM_QUERIES / times["bm25_wand_serve"], 1)
+
+    # release the resident bucket owners before the ops section so
+    # their CPU reservations don't starve the following actor pools
+    from dint_ray.pipelines.partitioned import release_all_actors
+
+    release_all_actors()
 
     # --- 4. training-data ops --------------------------------------------
     def docs_ds():
@@ -197,16 +208,30 @@ def run_scaling_inner(cpus: int) -> dict:
 
     qlog = generate_queries(SCALING_QUERIES, manifest["num_terms"])
     qds = queries_to_dataset(qlog)
-    # untimed warmup pass (the reference's pass 0, queries.cpp:104-111):
-    # builds + broadcasts the shared scored index
-    run_queries_ray(qds.limit(64), out_dir, algo="wand", k=K,
-                    concurrency=cpus).count()
+    # untimed warmup passes (the reference's pass 0, queries.cpp:104-111):
+    # routed = serve-layout build + owner init; broadcast = shared image
+    from dint_ray.pipelines.partitioned import run_queries_routed
+
+    # bucket count is a MEMORY decision and stays fixed across cluster
+    # sizes; replicas + batch flow scale with the cluster
+    buckets = 4
+    replicas = max(1, cpus // 8)
+    run_queries_routed(queries_to_dataset(qlog[:256]), out_dir, algo="wand",
+                       k=K, num_buckets=buckets,
+                       num_replicas=replicas, batch_size=64).count()
+    run_queries_ray(qds.limit(64), out_dir, algo="ranked_or_fast", k=K,
+                    concurrency=cpus, broadcast=True).count()
     serve = {}
-    for algo, bs in (("wand", 32), ("ranked_or_fast", 128)):
-        t0 = _t.time()
-        run_queries_ray(qds, out_dir, algo=algo, k=K, concurrency=cpus,
-                        batch_size=bs).count()
-        serve[algo] = round(SCALING_QUERIES / (_t.time() - t0), 1)
+    t0 = _t.time()
+    run_queries_routed(qds, out_dir, algo="wand", k=K, num_buckets=buckets,
+                       num_replicas=replicas, batch_size=64,
+                       router_concurrency=max(4, cpus // 2)).count()
+    serve["wand"] = round(SCALING_QUERIES / (_t.time() - t0), 1)
+    t0 = _t.time()
+    run_queries_ray(qds, out_dir, algo="ranked_or_fast", k=K,
+                    concurrency=cpus, batch_size=128,
+                    broadcast=True).count()
+    serve["ranked_or_fast"] = round(SCALING_QUERIES / (_t.time() - t0), 1)
     ray.shutdown()
     return {
         "num_cpus": cpus,

@@ -10,7 +10,17 @@ uint32 numpy arrays, where ``sum_of_values == U32_INVALID`` means
 
 from __future__ import annotations
 
-from dint_ray.codecs import interpolative, simple16, u32, varbyte, varintgb
+from dint_ray.codecs import (
+    interpolative,
+    mixed,
+    optpfor,
+    simple16,
+    streamvbyte,
+    u32,
+    varbyte,
+    varint_g8iu,
+    varintgb,
+)
 
 CODECS: dict[str, object] = {
     "u32": u32,
@@ -18,6 +28,10 @@ CODECS: dict[str, object] = {
     "interpolative": interpolative,
     "simple16": simple16,
     "varintgb": varintgb,
+    "streamvbyte": streamvbyte,
+    "optpfor": optpfor,
+    "varint_g8iu": varint_g8iu,
+    "mixed": mixed,
 }
 
 

@@ -189,6 +189,42 @@ def build_packed_single(targets: list[np.ndarray], cfg: DintConfig = DintConfig(
     return PackedDict.from_offsets(table, offsets)
 
 
+def build_rect_single(targets: list[np.ndarray],
+                      cfg: DintConfig = DintConfig()) -> PackedDict:
+    """rectangular_dictionary::builder
+    (/root/reference/include/dint/rectangular_dictionary.hpp:14-227):
+    every entry occupies a FIXED max_entry_size-u32 slot — no packing,
+    no prefix compaction; codeword i addresses slot i directly, trading
+    dictionary storage for an offset-free decode.
+
+    The codeword STREAM is identical to the packed variant built from
+    the same targets (the reference README shows equal bits/int for
+    single_rect and single_packed); only the table layout differs, so
+    we reuse PackedDict with stride-16 offsets."""
+    max_targets = cfg.num_entries - RESERVED
+    seen: set[tuple[int, ...]] = set()
+    tups: list[tuple[int, ...]] = []
+    for t in targets:
+        tt = tuple(int(x) for x in t)
+        if tt not in seen:
+            seen.add(tt)
+            tups.append(tt)
+        if len(tups) >= max_targets:
+            break
+
+    stride = cfg.max_entry_size
+    flat = [0] * stride                      # slot 0: zeros (runs/escapes)
+    offs = [0] * EXCEPTIONS + [(n - 1) << 24 for n in RUN_LENGTHS]
+    for j, t in enumerate(tups):
+        off = stride * (j + 1)
+        flat.extend(t)
+        flat.extend([0] * (stride - len(t)))
+        offs.append(((len(t) - 1) << 24) | off)
+    table = np.asarray(flat, dtype=np.uint32)
+    offsets = np.asarray(offs, dtype=np.uint32)
+    return PackedDict.from_offsets(table, offsets)
+
+
 def _compact_overlap(targets: list[tuple[int, ...]]):
     """overlap_policy::compact (dictionary_building_utils.hpp:63-239):
     drop entries contained as a SUBSTRING of another entry, then greedily

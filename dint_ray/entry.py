@@ -830,10 +830,30 @@ def registry():
             lambda sf: q_index_roundtrip(sf, "single_packed"), SQL_POSTING_LISTS),
         "index_roundtrip_multi": (
             lambda sf: q_index_roundtrip(sf, "multi_packed"), SQL_POSTING_LISTS),
+        "index_roundtrip_rect": (
+            lambda sf: q_index_roundtrip(sf, "single_rect"), SQL_POSTING_LISTS),
         "index_roundtrip_block_vbyte": (
             lambda sf: q_index_roundtrip(sf, "block_vbyte"), SQL_POSTING_LISTS),
         "index_roundtrip_block_simple16": (
             lambda sf: q_index_roundtrip(sf, "block_simple16"), SQL_POSTING_LISTS),
+        "index_roundtrip_block_streamvbyte": (
+            lambda sf: q_index_roundtrip(sf, "block_streamvbyte"),
+            SQL_POSTING_LISTS),
+        "index_roundtrip_block_optpfor": (
+            lambda sf: q_index_roundtrip(sf, "block_optpfor"),
+            SQL_POSTING_LISTS),
+        "index_roundtrip_block_varint_g8iu": (
+            lambda sf: q_index_roundtrip(sf, "block_varint_g8iu"),
+            SQL_POSTING_LISTS),
+        "index_roundtrip_block_mixed": (
+            lambda sf: q_index_roundtrip(sf, "block_mixed"),
+            SQL_POSTING_LISTS),
+        "index_roundtrip_ef": (
+            lambda sf: q_index_roundtrip(sf, "ef"), SQL_POSTING_LISTS),
+        "index_roundtrip_pef": (
+            lambda sf: q_index_roundtrip(sf, "pef_opt"), SQL_POSTING_LISTS),
+        "index_roundtrip_pef_uniform": (
+            lambda sf: q_index_roundtrip(sf, "pef_uniform"), SQL_POSTING_LISTS),
         "bm25_ranked_or": (q_ranked_or, SQL_RANKED_OR),
         "bm25_ranked_and": (q_ranked_and, SQL_RANKED_AND),
         "bm25_wand": (q_wand, SQL_RANKED_OR),

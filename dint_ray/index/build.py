@@ -53,13 +53,29 @@ class BuiltDicts:
     def is_block_codec(self) -> bool:
         return self.kind.startswith("block_")
 
+    @property
+    def is_sequence(self) -> bool:
+        from dint_ray.index.sequences import SEQ_KINDS
+
+        return self.kind in SEQ_KINDS
+
+    @property
+    def needs_model(self) -> bool:
+        """True when the kind requires the dictionary-mining stages."""
+        return not (self.is_block_codec or self.is_sequence)
+
     def codecs(self):
+        if self.is_sequence:
+            from dint_ray.index.sequences import SequenceCodecs
+
+            c = SequenceCodecs(self.kind)
+            return c, c
         if self.is_block_codec:
             from dint_ray.codecs import CODECS
 
             codec = CODECS[self.kind[len("block_"):]]
             return codec, codec
-        if self.kind == "single_packed":
+        if self.kind in ("single_packed", "single_rect"):
             return SingleDintCodec(self.docs_dict), SingleDintCodec(self.freqs_dict)
         return MultiDintCodec(self.docs_dict), MultiDintCodec(self.freqs_dict)
 
@@ -102,12 +118,14 @@ def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
                      kind: str = "single_packed",
                      cfg: DintConfig = DintConfig()) -> BuiltDicts:
     """Stats + DSF + compaction over in-memory postings (oracle path)."""
-    if kind.startswith("block_"):
+    from dint_ray.index.sequences import SEQ_KINDS
+
+    if kind.startswith("block_") or kind in SEQ_KINDS:
         return BuiltDicts(kind=kind)
     doc_bufs = [st.docs_gap_buffer(d) for d, _ in postings.values()]
     freq_bufs = [st.freqs_gap_buffer(f) for _, f in postings.values()]
     multi = kind == "multi_packed"
-    if kind not in ("single_packed", "multi_packed"):
+    if kind not in ("single_packed", "single_rect", "multi_packed"):
         raise ValueError(f"unknown dict kind {kind!r}")
     dcs, dtot = mine_counts_local(doc_bufs, multi, cfg)
     fcs, ftot = mine_counts_local(freq_bufs, multi, cfg)
@@ -117,8 +135,12 @@ def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
         freqs_dict = build_packed_multi(
             [st.select_targets(c, ftot, cfg) for c in fcs], cfg)
     else:
-        docs_dict = build_packed_single(st.select_targets(dcs[0], dtot, cfg), cfg)
-        freqs_dict = build_packed_single(st.select_targets(fcs[0], ftot, cfg), cfg)
+        from dint_ray.dint.dictionary import build_rect_single
+
+        build_one = (build_rect_single if kind == "single_rect"
+                     else build_packed_single)
+        docs_dict = build_one(st.select_targets(dcs[0], dtot, cfg), cfg)
+        freqs_dict = build_one(st.select_targets(fcs[0], ftot, cfg), cfg)
     return BuiltDicts(kind=kind, docs_dict=docs_dict, freqs_dict=freqs_dict)
 
 
@@ -174,7 +196,9 @@ def verify_index(index: InvertedIndex,
 
 def load_codec_bundle(index_dir: str, kind: str) -> BuiltDicts:
     """Rebuild the codec bundle for a built index directory."""
-    if kind.startswith("block_"):
+    from dint_ray.index.sequences import SEQ_KINDS
+
+    if kind.startswith("block_") or kind in SEQ_KINDS:
         return BuiltDicts(kind=kind)
     import os
 

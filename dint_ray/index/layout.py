@@ -33,6 +33,12 @@ class Codec:
 
 
 def write_posting_list(docs: np.ndarray, freqs: np.ndarray, docs_codec, freqs_codec) -> bytes:
+    if getattr(docs_codec, "whole_list", False):
+        # sequence index kinds (ef / partitioned-EF) encode the whole
+        # list, not 256-int blocks (index/sequences.py)
+        from dint_ray.index.sequences import write_sequence_list
+
+        return write_sequence_list(docs, freqs, docs_codec.kind)
     n = len(docs)
     assert n >= 1 and len(freqs) == n
     blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
@@ -73,9 +79,20 @@ def write_posting_list(docs: np.ndarray, freqs: np.ndarray, docs_codec, freqs_co
 
 
 class PostingListView:
-    """Parsed header over one posting list's bytes."""
+    """Parsed header over one posting list's bytes.
+
+    Constructing with a sequence-kind codec bundle returns a
+    SequenceListView instead (same decode_all surface), so every call
+    site reads any index kind through this one name."""
 
     __slots__ = ("buf", "n", "blocks", "maxs", "endpoints", "payload_at", "docs_codec", "freqs_codec")
+
+    def __new__(cls, data, docs_codec=None, freqs_codec=None):
+        if getattr(docs_codec, "whole_list", False):
+            from dint_ray.index.sequences import SequenceListView
+
+            return SequenceListView(data)
+        return super().__new__(cls)
 
     def __init__(self, data: bytes | np.ndarray, docs_codec, freqs_codec) -> None:
         buf = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else data

@@ -58,8 +58,16 @@ class InvertedIndex:
             self._views[term_id] = v
         return v
 
-    def enumerator(self, term_id: int) -> DocumentEnumerator:
-        return DocumentEnumerator(self.view(term_id), self.num_docs)
+    def enumerator(self, term_id: int):
+        v = self.view(term_id)
+        if not hasattr(v, "blocks"):
+            # sequence-coded list (no block structure): cursor over the
+            # cached decoded arrays
+            from dint_ray.pipelines.serve import _ArrayEnumerator
+
+            docs, freqs = self.cached_decode(term_id)
+            return _ArrayEnumerator(docs, freqs, self.num_docs)
+        return DocumentEnumerator(v, self.num_docs)
 
     def size(self, term_id: int) -> int:
         return self.view(term_id).n

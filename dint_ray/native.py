@@ -445,15 +445,56 @@ def available() -> bool:
 
 
 def _ptr_arrays(ffi, lists):
-    docs_ptrs = np.array([L.docs.ctypes.data for L in lists], dtype=np.uint64)
-    w_ptrs = np.array([L.w.ctypes.data for L in lists], dtype=np.uint64)
-    lens = np.array([L.n for L in lists], dtype=np.int64)
-    mws = np.array([L.max_weight for L in lists], dtype=np.float32)
+    n = len(lists)
+    docs_ptrs = np.empty(n, dtype=np.uint64)
+    w_ptrs = np.empty(n, dtype=np.uint64)
+    lens = np.empty(n, dtype=np.int64)
+    mws = np.empty(n, dtype=np.float32)
+    for i, L in enumerate(lists):
+        # dptr/wptr are pre-validated addresses from the scored-list
+        # cache; computing arr.ctypes.data per call costs a ctypes
+        # object per access
+        dp = getattr(L, "dptr", None)
+        if dp is None:
+            if (L.docs.dtype != np.uint32 or not L.docs.flags.c_contiguous
+                    or L.w.dtype != np.float32
+                    or not L.w.flags.c_contiguous):
+                return None
+            dp = L.docs.ctypes.data
+            wp = L.w.ctypes.data
+            try:
+                L.dptr = dp
+                L.wptr = wp
+            except AttributeError:
+                pass
+        else:
+            wp = L.wptr
+        docs_ptrs[i] = dp
+        w_ptrs[i] = wp
+        lens[i] = L.n
+        mws[i] = L.max_weight
     return docs_ptrs, w_ptrs, lens, mws
 
 
 def _as(ffi, ctype, arr):
     return ffi.cast(ctype, arr.ctypes.data)
+
+
+_OUT_CACHE: dict[int, tuple] = {}
+
+
+def _out_buffers(ffi, k: int):
+    """Reusable per-process output buffers + their casts (one query is
+    scored at a time per actor process)."""
+    got = _OUT_CACHE.get(k)
+    if got is None:
+        out_docs = np.empty(k, dtype=np.int64)
+        out_scores = np.empty(k, dtype=np.float32)
+        got = _OUT_CACHE[k] = (
+            out_docs, out_scores,
+            ffi.cast("int64_t *", out_docs.ctypes.data),
+            ffi.cast("float *", out_scores.ctypes.data))
+    return got
 
 
 def run_topk(algo: str, lists, k: int, universe: int, blocks=None):
@@ -464,27 +505,22 @@ def run_topk(algo: str, lists, k: int, universe: int, blocks=None):
     ffi, lib = get_lib()
     if lib is None or len(lists) > MAX_LISTS:
         return None
-    for L in lists:
-        if L.docs.dtype != np.uint32 or not L.docs.flags.c_contiguous:
-            return None
-        if L.w.dtype != np.float32 or not L.w.flags.c_contiguous:
-            return None
-    docs_ptrs, w_ptrs, lens, mws = _ptr_arrays(ffi, lists)
-    out_docs = np.empty(k, dtype=np.int64)
-    out_scores = np.empty(k, dtype=np.float32)
+    ptrs = _ptr_arrays(ffi, lists)
+    if ptrs is None:
+        return None
+    docs_ptrs, w_ptrs, lens, mws = ptrs
+    out_docs, out_scores, out_docs_c, out_scores_c = _out_buffers(ffi, k)
     n = len(lists)
     if algo == "wand":
         cnt = lib.wand_query(
             n, _as(ffi, "uint64_t *", docs_ptrs), _as(ffi, "uint64_t *", w_ptrs),
             _as(ffi, "int64_t *", lens), _as(ffi, "float *", mws),
-            universe, k, _as(ffi, "int64_t *", out_docs),
-            _as(ffi, "float *", out_scores))
+            universe, k, out_docs_c, out_scores_c)
     elif algo == "maxscore":
         cnt = lib.maxscore_query(
             n, _as(ffi, "uint64_t *", docs_ptrs), _as(ffi, "uint64_t *", w_ptrs),
             _as(ffi, "int64_t *", lens), _as(ffi, "float *", mws),
-            universe, k, _as(ffi, "int64_t *", out_docs),
-            _as(ffi, "float *", out_scores))
+            universe, k, out_docs_c, out_scores_c)
     elif algo == "block_max_wand":
         assert blocks is not None and len(blocks) == n
         keep = []  # hold refs so arrays outlive the call
@@ -503,8 +539,7 @@ def run_topk(algo: str, lists, k: int, universe: int, blocks=None):
             _as(ffi, "int64_t *", lens), _as(ffi, "float *", mws),
             _as(ffi, "uint64_t *", blast_ptrs), _as(ffi, "uint64_t *", bw_ptrs),
             _as(ffi, "int64_t *", nblocks),
-            universe, k, _as(ffi, "int64_t *", out_docs),
-            _as(ffi, "float *", out_scores))
+            universe, k, out_docs_c, out_scores_c)
     else:
         return None
     return [(int(out_docs[i]), float(out_scores[i])) for i in range(cnt)]

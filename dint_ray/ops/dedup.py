@@ -476,49 +476,89 @@ def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
 # --------------------------------------------------------------------------
 
 def embedding_dup_pairs_ds(emb_ds, threshold: float = 0.95,
-                           concurrency: int = 8):
-    """All pairs with cosine similarity >= threshold.
+                           concurrency: int = 8, block_rows: int = 2048):
+    """All pairs with cosine similarity >= threshold (exact).
 
-    The (normalized) embedding matrix is broadcast once via ray.put;
-    each batch does one blocked matmul against it — the brute-force
-    baseline; the IVF/LSH variant in simsearch.py is the scale path."""
+    Distributed block-pair self-join: the corpus is normalized into
+    object-store blocks once (driver holds ONLY the block refs), then a
+    Dataset of (i, j) block-pair indices fans out — each task pulls
+    two blocks zero-copy from the store and runs one matmul.  O(B^2)
+    tasks but O(block) memory anywhere; nothing materializes on the
+    driver.  The LSH variant in simsearch.py is the sub-quadratic
+    path when exactness can be traded."""
     import ray
+    import ray.data as rd
 
-    tbl = pa.concat_tables([t for t in ray.get(emb_ds.to_arrow_refs())
-                            if t is not None])
-    ids = tbl.column("vec_id").to_numpy().astype(np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in tbl.column("embedding").to_pylist()])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+    def norm_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch.column("embedding").to_pylist()])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "vec": pa.array([row.tobytes() for row in mat], pa.binary()),
+        })
 
-    class PairFinder:
+    mat_ds = emb_ds.map_batches(norm_block, batch_format="pyarrow",
+                                batch_size=block_rows,
+                                num_cpus=1).materialize()
+    refs = mat_ds.to_arrow_refs()          # refs only — no driver pull
+    nblocks = len(refs)
+    refs_ref = ray.put(refs)
+
+    pairs_ds = rd.from_items([{"i": i, "j": j}
+                              for i in range(nblocks)
+                              for j in range(i, nblocks)])
+
+    class BlockPair:
         def __init__(self):
-            self.ids, self.mat = ray.get(ref)
-            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+            self.refs = ray.get(refs_ref)
+            self._cache: dict[int, tuple] = {}
+
+        def _block(self, i: int):
+            got = self._cache.get(i)
+            if got is None:
+                t = ray.get(self.refs[i])
+                ids = t.column("vec_id").to_numpy().astype(np.int64)
+                rows = [np.frombuffer(b, dtype=np.float64)
+                        for b in t.column("vec").to_pylist()]
+                mat = np.stack(rows) if rows else np.empty((0, 1))
+                if len(self._cache) > 4:    # bounded per-actor cache
+                    self._cache.pop(next(iter(self._cache)))
+                got = self._cache[i] = (ids, mat)
+            return got
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column("vec_id").to_numpy().astype(np.int64)
-            rows = np.stack([np.asarray(v, dtype=np.float64)
-                             for v in batch.column("embedding").to_pylist()])
-            rows /= np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
-            sims = rows @ self.mat.T
             out_a, out_b = [], []
-            for i, vid in enumerate(bids):
-                hit = np.flatnonzero(sims[i] >= threshold)
-                for j in hit:
-                    other = int(self.ids[j])
-                    if other > int(vid):
-                        out_a.append(int(vid))
-                        out_b.append(other)
+            for i, j in zip(batch.column("i").to_numpy(),
+                            batch.column("j").to_numpy()):
+                ai, am = self._block(int(i))
+                bi, bm = self._block(int(j))
+                if not len(ai) or not len(bi):
+                    continue
+                sims = am @ bm.T
+                xs, ys = np.nonzero(sims >= threshold)
+                va, vb = ai[xs], bi[ys]
+                keep = va < vb              # i==j self-pairs + ordering
+                out_a.extend(va[keep].tolist())
+                out_b.extend(vb[keep].tolist())
+                if int(i) != int(j):        # cross-block reversed hits
+                    keep2 = vb < va
+                    out_a.extend(vb[keep2].tolist())
+                    out_b.extend(va[keep2].tolist())
             return pa.table({
                 "vec_a": pa.array(out_a, pa.int64()),
                 "vec_b": pa.array(out_b, pa.int64()),
             })
 
-    return emb_ds.map_batches(PairFinder, batch_format="pyarrow",
-                              batch_size=256, concurrency=(1, concurrency),
-                              num_cpus=1)
+    out = pairs_ds.map_batches(BlockPair, batch_format="pyarrow",
+                               batch_size=1,
+                               concurrency=(1, concurrency), num_cpus=1)
+    out._dint_keepalive = mat_ds   # keep block refs alive until consumed
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -571,9 +611,22 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
         concurrency=(1, concurrency), num_cpus=1,
     ).materialize()  # used twice: cardinalities + pair emission
 
-    card = {int(r["doc_id"]): int(r["count()"])
-            for r in shingles.groupby("doc_id").aggregate(Count()).take_all()}
-    card_ref = ray.put(card)
+    def _card_as_binary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sids": pa.array([], pa.binary())})
+        c = batch.column("count()").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "sids": pa.array([int(x).to_bytes(8, "little") for x in c],
+                             pa.binary()),
+        })
+
+    # per-doc shingle cardinalities stay a Dataset (round 1 pulled them
+    # to a driver dict — O(num_docs) driver memory); attached to the
+    # pair rows by the same distributed hash-join used for minhash
+    card_ds = (shingles.groupby("doc_id").aggregate(Count())
+               .map_batches(_card_as_binary, batch_format="pyarrow"))
 
     num_buckets = 64
 

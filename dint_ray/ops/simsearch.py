@@ -1,11 +1,18 @@
 """Similarity search over an embedding column (list<float>).
 
-- brute-force cosine top-k: query matrix broadcast via ray.put, one
-  numpy matmul per batch (the baseline; exact);
-- LSH-bucketed variant (random-hyperplane signatures): the scale path —
-  each corpus vector lands in a bucket; queries probe their own bucket
-  (+ optional multi-probe), so the per-query candidate set shrinks from
-  N to N/2^bits on average.  Recall < 1 by design; documented.
+- brute-force cosine top-k: exact baseline.  Query vectors are pulled
+  by a distributed filter (only the Q query rows ever reach the
+  driver), broadcast once via ray.put; each corpus batch does one
+  numpy matmul and emits a per-batch partial top-k;
+- LSH-bucketed ANN: random-hyperplane signatures; the CORPUS is
+  hash-repartitioned by bucket and each partition scores only the
+  queries whose bucket it owns — per-query candidate work shrinks
+  from N to N/2^bits on average.  Recall < 1 by design; measured
+  against the exact path by ``lsh_recall``.
+
+Both finals use one vectorized lexsort-partition top-k kernel per
+hash-repartitioned block (no per-group Python: the round-1
+``groupby(query_id).map_groups`` called pandas once per query).
 """
 
 from __future__ import annotations
@@ -26,8 +33,62 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _query_matrix(emb_ds, query_ids: list[int]):
+    """(qids, normalized rows) via a distributed filter — only the
+    query rows are ever collected (no whole-table driver pull)."""
+    wanted = set(int(q) for q in query_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        m = np.isin(ids.astype(np.int64), np.fromiter(wanted, np.int64))
+        return batch.filter(pa.array(m))
+
+    rows = emb_ds.map_batches(keep, batch_format="pyarrow").take_all()
+    by_id = {int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+             for r in rows}
+    qm = _normalize(np.stack([by_id[int(q)] for q in query_ids]))
+    return np.asarray(query_ids, dtype=np.int64), qm
+
+
+def _empty_partial() -> pa.Table:
+    return pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    })
+
+
+def _final_topk_block(batch: pa.Table, *, k: int) -> pa.Table:
+    """Vectorized per-block exact top-k per query: one lexsort over
+    (query_id, -sim, vec_id), then a per-group rank cutoff — requires
+    all rows of a query co-located (hash repartition upstream)."""
+    if batch.num_rows == 0 or "query_id" not in batch.column_names:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+        })
+    q = batch.column("query_id").to_numpy().astype(np.int64)
+    v = batch.column("vec_id").to_numpy().astype(np.int64)
+    s = batch.column("sim").to_numpy()
+    order = np.lexsort((v, -s, q))
+    qs, vs = q[order], v[order]
+    # rank within query: position minus the query group's start
+    change = np.flatnonzero(np.diff(qs)) + 1
+    starts = np.concatenate(([0], change))
+    group_start = np.repeat(starts, np.diff(np.concatenate((starts,
+                                                            [len(qs)]))))
+    rank = np.arange(len(qs)) - group_start + 1
+    keep = rank <= k
+    return pa.table({
+        "query_id": pa.array(qs[keep], pa.int64()),
+        "rank": pa.array(rank[keep], pa.int64()),
+        "vec_id": pa.array(vs[keep], pa.int64()),
+    })
+
+
 def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
-                  concurrency: int = 8):
+                  concurrency: int = 8, num_partitions: int = 8):
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, rank, vec_id) — integer-only output so the
@@ -37,12 +98,8 @@ def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
     """
     import ray
 
-    tbl = pa.concat_tables([t for t in ray.get(emb_ds.to_arrow_refs())
-                            if t is not None])
-    ids, mat = _to_matrix(tbl)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    qm = _normalize(mat[[pos[q] for q in query_ids]])
-    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qm))
+    qids, qm = _query_matrix(emb_ds, query_ids)
+    qref = ray.put((qids, qm))
 
     class Scorer:
         """Per-batch partial top-k against the broadcast query matrix."""
@@ -51,6 +108,8 @@ def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
             self.qids, self.qm = ray.get(qref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_partial()
             bids, bmat = _to_matrix(batch)
             bmat = _normalize(bmat)
             sims = self.qm @ bmat.T  # (Q, B)
@@ -72,60 +131,72 @@ def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64()),
             })
 
-    def final_topk(g):
-        import pandas as pd
-
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        return pd.DataFrame({
-            "query_id": g["query_id"],
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            "vec_id": g["vec_id"],
-        })
-
     partial = emb_ds.map_batches(Scorer, batch_format="pyarrow",
                                  batch_size=1024,
                                  concurrency=(1, concurrency), num_cpus=1)
-    return partial.groupby("query_id").map_groups(final_topk,
-                                                  batch_format="pandas")
+    return (partial.repartition(num_partitions, keys=["query_id"], sort=False)
+            .map_batches(_final_topk_block, fn_kwargs={"k": k},
+                         batch_format="pyarrow", batch_size=None, num_cpus=1))
 
 
 def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
-               seed: int = 99, concurrency: int = 8):
-    """LSH-bucketed ANN: random-hyperplane signature -> groupby(bucket)
-    -> exact top-k within the query's bucket.  Approximate (recall < 1);
-    rows-only checked."""
+               seed: int = 99, concurrency: int = 8,
+               num_partitions: int = 8):
+    """Bucket-partitioned ANN: corpus vectors are signed into 2^bits
+    hyperplane buckets and hash-repartitioned by bucket; each partition
+    scores ONLY the queries whose bucket it holds.  Approximate
+    (recall < 1); measured by ``lsh_recall``."""
     import ray
 
-    tbl = pa.concat_tables([t for t in ray.get(emb_ds.to_arrow_refs())
-                            if t is not None])
-    ids, mat = _to_matrix(tbl)
-    dim = mat.shape[1]
+    qids, qm = _query_matrix(emb_ds, query_ids)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, dim))
-    pos = {int(v): i for i, v in enumerate(ids)}
-    qm = _normalize(mat[[pos[q] for q in query_ids]])
+    # dim from the query rows (no corpus materialization)
+    planes = rng.standard_normal((bits, qm.shape[1]))
     qsig = (qm @ planes.T > 0).astype(np.uint8)
-    qbucket = (qsig * (1 << np.arange(bits))).sum(axis=1)
-    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, qbucket, planes))
+    qbucket = (qsig * (1 << np.arange(bits))).sum(axis=1).astype(np.int64)
+    qref = ray.put((qids, qm, qbucket))
+    planes_ref = ray.put(planes)
 
-    class BucketScorer:
+    class AddBucket:
         def __init__(self):
-            self.qids, self.qm, self.qbucket, self.planes = ray.get(qref)
+            self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("bucket",
+                                           pa.array([], pa.int64()))
+            _, bmat = _to_matrix(batch)
+            sig = (_normalize(bmat) @ self.planes.T > 0).astype(np.uint8)
+            bucket = (sig * (1 << np.arange(sig.shape[1]))).sum(axis=1)
+            return batch.append_column(
+                "bucket", pa.array(bucket.astype(np.int64), pa.int64()))
+
+    class BucketScorer:
+        """Scores the partition's vectors against ONLY same-bucket
+        queries (the partition holds complete buckets)."""
+
+        def __init__(self):
+            self.qids, self.qm, self.qbucket = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "bucket" not in batch.column_names:
+                return _empty_partial()
+            bucket = batch.column("bucket").to_numpy()
+            present = np.unique(bucket)
+            qsel = np.flatnonzero(np.isin(self.qbucket, present))
+            if not len(qsel):
+                return _empty_partial()
             bids, bmat = _to_matrix(batch)
             bmat = _normalize(bmat)
-            sig = (bmat @ self.planes.T > 0).astype(np.uint8)
-            bucket = (sig * (1 << np.arange(sig.shape[1]))).sum(axis=1)
             out_q, out_v, out_s = [], [], []
-            for qi, qid in enumerate(self.qids):
-                mask = (bucket == self.qbucket[qi]) & (bids != qid)
-                if not mask.any():
+            for qi in qsel:
+                qid = int(self.qids[qi])
+                m = (bucket == self.qbucket[qi]) & (bids != qid)
+                if not m.any():
                     continue
-                sims = bmat[mask] @ self.qm[qi]
-                vv = bids[mask]
-                out_q.extend([int(qid)] * len(vv))
+                sims = bmat[m] @ self.qm[qi]
+                vv = bids[m]
+                out_q.extend([qid] * len(vv))
                 out_v.extend(vv.tolist())
                 out_s.extend(sims.tolist())
             return pa.table({
@@ -134,18 +205,27 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                 "sim": pa.array(out_s, pa.float64()),
             })
 
-    def final_topk(g):
-        import pandas as pd
+    partial = (emb_ds.map_batches(AddBucket, batch_format="pyarrow",
+                                  batch_size=1024,
+                                  concurrency=(1, concurrency), num_cpus=1)
+               .repartition(num_partitions, keys=["bucket"], sort=False)
+               .map_batches(BucketScorer, batch_format="pyarrow",
+                            batch_size=None, num_cpus=1))
+    return (partial.repartition(num_partitions, keys=["query_id"], sort=False)
+            .map_batches(_final_topk_block, fn_kwargs={"k": k},
+                         batch_format="pyarrow", batch_size=None, num_cpus=1))
 
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        return pd.DataFrame({
-            "query_id": g["query_id"],
-            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-            "vec_id": g["vec_id"],
-        })
 
-    partial = emb_ds.map_batches(BucketScorer, batch_format="pyarrow",
-                                 batch_size=1024,
-                                 concurrency=(1, concurrency), num_cpus=1)
-    return partial.groupby("query_id").map_groups(final_topk,
-                                                  batch_format="pandas")
+def lsh_recall(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
+               seed: int = 99) -> float:
+    """Measured recall of the LSH path vs the exact scan: |ANN top-k
+    that appear in exact top-k| / (Q*k)."""
+    exact = knn_cosine_ds(emb_ds, query_ids, k=k).take_all()
+    approx = lsh_knn_ds(emb_ds, query_ids, k=k, bits=bits,
+                        seed=seed).take_all()
+    want: dict[int, set] = {}
+    for r in exact:
+        want.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    hits = sum(1 for r in approx
+               if int(r["vec_id"]) in want.get(int(r["query_id"]), set()))
+    return hits / max(1, len(query_ids) * k)

@@ -314,9 +314,13 @@ def _dicts_from_stats(stats_docs: pa.Table, stats_freqs: pa.Table,
         ctx = table.column("ctx").to_numpy()
         pats = table.column("pattern").to_pylist()
         freqs = table.column("freq").to_numpy()
-        if kind == "single_packed":
+        if kind in ("single_packed", "single_rect"):
+            from dint_ray.dint.dictionary import build_rect_single
+
             counts = {p: int(f) for p, f in zip(pats, freqs)}
-            return build_packed_single(st.select_targets(counts, total, cfg), cfg)
+            build_one = (build_rect_single if kind == "single_rect"
+                         else build_packed_single)
+            return build_one(st.select_targets(counts, total, cfg), cfg)
         maps: list[dict[bytes, int]] = [dict() for _ in range(cfg.num_selectors)]
         for c, p, f in zip(ctx, pats, freqs):
             maps[int(c)][p] = int(f)
@@ -431,9 +435,13 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = sz.column("len").to_numpy()
     t = _tick("doc_sizes", t)
 
-    if kind.startswith("block_"):
-        # plain block-codec index (block_freq_index<T> family): no
-        # dictionary model, stages 5-6 are skipped entirely
+    from dint_ray.index.sequences import SEQ_KINDS
+
+    if kind.startswith("block_") or kind in SEQ_KINDS:
+        # plain block-codec index (block_freq_index<T> family) or a
+        # whole-list sequence index (ef / partitioned-EF,
+        # index_types.hpp:25-37): no dictionary model, stages 5-6 are
+        # skipped entirely
         dicts = BuiltDicts(kind=kind)
         t = _tick("pattern_stats", t)
         t = _tick("dictionaries", t)
@@ -455,7 +463,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
                                freqs_dict=freqs_dict)
         else:
             dicts = _dicts_from_stats(stats_docs, stats_freqs, kind, cfg)
-            saver = save_single if kind == "single_packed" else save_multi
+            saver = save_multi if kind == "multi_packed" else save_single
             # crash-safe: write both to temp paths, then atomically
             # publish (resume gates on BOTH files existing, so a crash
             # between the two replaces never looks done)

@@ -17,9 +17,14 @@ thing to die at 10^12 docs.  This module is the scale path:
   driver image, no replication), keeps flat numpy arrays + per-posting
   float32 BM25 weights, and runs the same query algorithms (C kernel
   or Python) over its slice.
-- **Routing** (``run_queries_routed``): queries stay a streaming
-  Dataset; a router map-stage fans each batch to all P owners and
-  merges per-bucket top-k exactly.
+- **Routing** (``run_queries_routed``): async scatter-gather — the
+  driver streams query batches (one ray.put block ref each, shared by
+  every owner on the node), fans each batch to one REPLICA of every
+  bucket owner without blocking, and chains one remote vectorized
+  merge task per batch under a bounded in-flight window.  Bucket count
+  is a memory decision; replica count is the throughput lever (owners
+  are read-only).  A synchronous per-batch router was measured at
+  ~half the owner ceiling — the round-trip wait serialized it.
 
 Exactness: documents are partitioned disjointly, BM25 depends on the
 doc's own tf/len plus GLOBAL collection stats (df, N, avg length), so
@@ -283,6 +288,59 @@ class PartitionScorer:
             out.append((int(qid), res))
         return out
 
+    def score_topk_arrays(self, qids, terms_list, algo: str, k: int):
+        """(counts, docs, scores) flat numpy arrays — the serialization
+        shape for the async scatter-gather path (tuple lists cost a
+        pickle object per hit at 10^4 q/s)."""
+        from dint_ray.queries import algorithms as qa
+
+        fn = getattr(qa, algo)
+        nq = len(qids)
+        counts = np.empty(nq, dtype=np.int32)
+        docs_out: list = []
+        scores_out: list = []
+        prof = self._profile
+        for i, terms in enumerate(terms_list):
+            res = fn(self.index, self.wand, list(terms), k)
+            counts[i] = len(res)
+            docs_out.extend(d for d, _ in res)
+            scores_out.extend(s for _, s in res)
+            for t in set(terms):
+                if t in self.index:
+                    prof[t] = prof.get(t, 0) + 1
+        return (counts, np.asarray(docs_out, dtype=np.int64),
+                np.asarray(scores_out, dtype=np.float32))
+
+    def score_block(self, batch: pa.Table, algo: str, k: int):
+        """Arrow-block entry: the driver ships ONE ray.put block ref per
+        batch to all B owners (plasma-shared on the node); term-list
+        extraction happens here, in parallel, not on the driver."""
+        qids = batch.column("query_id").to_numpy()
+        terms_list = [list(v.as_py()) for v in batch.column("terms")]
+        return self.score_topk_arrays(qids, terms_list, algo, k)
+
+    def score_quantized_block(self, batch: pa.Table, mode: str, k: int,
+                              check_algo: str | None = None):
+        qids = batch.column("query_id").to_numpy()
+        terms_list = [list(v.as_py()) for v in batch.column("terms")]
+        return self.score_quantized_arrays(qids, terms_list, mode, k,
+                                           check_algo)
+
+    def score_quantized_arrays(self, qids, terms_list, mode: str, k: int,
+                               check_algo: str | None = None):
+        """Array-shaped variant of score_quantized for the async path."""
+        res = self.score_quantized(qids, terms_list, mode, k, check_algo)
+        nq = len(qids)
+        counts = np.empty(nq, dtype=np.int32)
+        docs_out: list = []
+        scores_out: list = []
+        for i, (_, order) in enumerate(res):
+            counts[i] = len(order)
+            docs_out.extend(d for d, _ in order)
+            scores_out.extend(s for _, s in order)
+        return (counts, np.asarray(docs_out, dtype=np.int64),
+                np.asarray(scores_out, dtype=np.int64))
+
     def score_counts(self, qids, terms_list):
         from dint_ray.queries import algorithms as qa
 
@@ -355,8 +413,14 @@ _ACTOR_CACHE: dict[tuple, list] = {}
 
 
 def partition_actors(index_dir: str, num_buckets: int,
-                     num_cpus_each: float = 0.25):
-    """Create (or reuse) the P bucket-owner actors.
+                     num_cpus_each: float = 0.25, num_replicas: int = 1):
+    """Create (or reuse) the P x R bucket-owner actors.
+
+    Returns a list of R replica sets, each a list of P owners.  Bucket
+    count is a MEMORY decision (a bucket must fit one worker's heap);
+    replica count is a THROUGHPUT decision (owners are read-only, so a
+    bigger cluster serves more queries by replicating buckets, not by
+    splitting finer — finer splits inflate every query's fan-out).
 
     The owners are resident state, not schedulable work units: they
     reserve a fractional CPU so a cached actor set never starves later
@@ -366,28 +430,43 @@ def partition_actors(index_dir: str, num_buckets: int,
     concurrency, which provides the backpressure."""
     import ray
 
-    key = (os.path.abspath(index_dir), num_buckets)
-    actors = _ACTOR_CACHE.get(key)
-    if actors is None:
-        # evict other bucket configurations (their actors hold CPU
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    replicas = _ACTOR_CACHE.get(key)
+    if replicas is None:
+        # evict other configurations (their actors hold CPU
         # reservations; two live sets can deadlock a small cluster)
         for old in [k for k in _ACTOR_CACHE if k != key]:
-            for a in _ACTOR_CACHE.pop(old):
-                ray.kill(a)
+            for rs in _ACTOR_CACHE.pop(old):
+                for a in rs:
+                    ray.kill(a)
         serve_dir = build_serve_partitions(index_dir, num_buckets)
         cls = ray.remote(PartitionScorer).options(num_cpus=num_cpus_each)
-        actors = [cls.remote(index_dir, serve_dir, b)
-                  for b in range(num_buckets)]
-        _ACTOR_CACHE[key] = actors
-    return actors
+        replicas = [[cls.remote(index_dir, serve_dir, b)
+                     for b in range(num_buckets)]
+                    for _ in range(num_replicas)]
+        _ACTOR_CACHE[key] = replicas
+    return replicas
 
 
-def drop_actors(index_dir: str, num_buckets: int) -> None:
+def drop_actors(index_dir: str, num_buckets: int,
+                num_replicas: int = 1) -> None:
     import ray
 
-    key = (os.path.abspath(index_dir), num_buckets)
-    for a in _ACTOR_CACHE.pop(key, []):
-        ray.kill(a)
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    for rs in _ACTOR_CACHE.pop(key, []):
+        for a in rs:
+            ray.kill(a)
+
+
+def release_all_actors() -> None:
+    """Kill every cached owner set — call when a serving burst is over
+    and the cluster is needed for other pipelines."""
+    import ray
+
+    for key in list(_ACTOR_CACHE):
+        for rs in _ACTOR_CACHE.pop(key):
+            for a in rs:
+                ray.kill(a)
 
 
 def merge_topk(parts, k: int):
@@ -398,78 +477,113 @@ def merge_topk(parts, k: int):
     return allr[:k]
 
 
-class _Router:
-    """Stateless fan-out stage: sends each query batch to all P bucket
-    owners and merges per-bucket top-k exactly."""
+def merge_owner_arrays(k: int, quantized: bool, qbatch,
+                       *parts) -> pa.Table:
+    """Vectorized exact merge of per-owner (counts, docs, scores)
+    arrays: one lexsort over (query, -score, doc) + a per-group rank
+    cutoff — the cross-bucket equivalent of topk_queue.finalize."""
+    qids = (qbatch.column("query_id").to_numpy().astype(np.int64)
+            if isinstance(qbatch, pa.Table) else np.asarray(qbatch))
+    nq = len(qids)
+    qidx_parts, doc_parts, score_parts = [], [], []
+    for counts, docs, scores in parts:
+        qidx_parts.append(np.repeat(np.arange(nq), counts))
+        doc_parts.append(docs)
+        score_parts.append(scores)
+    qidx = np.concatenate(qidx_parts)
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    order = np.lexsort((docs, -scores.astype(np.float64), qidx))
+    qidx, docs, scores = qidx[order], docs[order], scores[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(qidx)) + 1))
+    group_start = np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(qidx)]))))
+    rank = np.arange(len(qidx)) - group_start
+    keep = rank < k
+    qout = np.asarray(qids, dtype=np.int64)[qidx[keep]]
+    if quantized:
+        return pa.table({
+            "query_id": pa.array(qout, pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+            "doc_id": pa.array(docs[keep], pa.int64()),
+            "score_u": pa.array(scores[keep].astype(np.int64), pa.int64()),
+        })
+    return pa.table({
+        "query_id": pa.array(qout.astype(np.uint64), pa.uint64()),
+        "rank": pa.array(rank[keep].astype(np.uint32), pa.uint32()),
+        "doc_id": pa.array(docs[keep].astype(np.uint64), pa.uint64()),
+        "score": pa.array(scores[keep].astype(np.float32), pa.float32()),
+    })
 
-    def __init__(self, actors, algo: str, k: int, quantized: bool,
-                 mode: str | None = None) -> None:
-        self.actors = actors
-        self.algo = algo
-        self.k = k
-        self.quantized = quantized
-        self.mode = mode or algo
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+_MERGE_REMOTE = None
+
+
+def _merge_remote():
+    global _MERGE_REMOTE
+    if _MERGE_REMOTE is None:
         import ray
 
-        qids = batch.column("query_id").to_numpy()
-        terms_list = [list(v.as_py()) for v in batch.column("terms")]
-        if self.quantized:
-            chk = self.algo if self.algo in ("wand", "maxscore",
-                                             "block_max_wand") else None
-            refs = [a.score_quantized.remote(qids, terms_list, self.mode,
-                                             self.k, chk)
-                    for a in self.actors]
-        else:
-            refs = [a.score_topk.remote(qids, terms_list, self.algo, self.k)
-                    for a in self.actors]
-        parts = ray.get(refs)
-        o_q, o_r, o_d, o_s = [], [], [], []
-        for i, qid in enumerate(qids):
-            merged = merge_topk([p[i][1] for p in parts], self.k)
-            for rank, (doc, score) in enumerate(merged):
-                o_q.append(int(qid))
-                o_r.append(rank + 1 if self.quantized else rank)
-                o_d.append(int(doc))
-                o_s.append(score)
-        if self.quantized:
-            return pa.table({
-                "query_id": pa.array(o_q, pa.int64()),
-                "rank": pa.array(o_r, pa.int64()),
-                "doc_id": pa.array(o_d, pa.int64()),
-                "score_u": pa.array(o_s, pa.int64()),
-            })
-        return pa.table({
-            "query_id": pa.array(o_q, pa.uint64()),
-            "rank": pa.array(o_r, pa.uint32()),
-            "doc_id": pa.array(o_d, pa.uint64()),
-            "score": pa.array(np.asarray(o_s, np.float32), pa.float32()),
-        })
+        _MERGE_REMOTE = ray.remote(num_cpus=0.25)(merge_owner_arrays)
+    return _MERGE_REMOTE
 
 
 def run_queries_routed(queries_ds, index_dir: str, algo: str = "wand",
                        k: int = 10, num_buckets: int = 8,
                        router_concurrency: int = 4, batch_size: int = 64,
-                       quantized: bool = False, mode: str | None = None):
+                       quantized: bool = False, mode: str | None = None,
+                       num_replicas: int = 1):
     """queries Dataset -> (query_id, rank, doc_id, score[(_u)]) Dataset
-    via the routed doc-partitioned path."""
-    actors = partition_actors(index_dir, num_buckets)
-    return queries_ds.map_batches(
-        _Router,
-        fn_constructor_kwargs={"actors": actors, "algo": algo, "k": k,
-                               "quantized": quantized, "mode": mode},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=router_concurrency, num_cpus=0.5,
-    )
+    via the routed doc-partitioned path.
+
+    Async scatter-gather: the driver streams query batches (queries are
+    the tiny side — ids + term lists), fans each batch to one replica
+    of every bucket owner WITHOUT blocking (a synchronous router stage
+    waits a full owner round-trip per batch, which capped throughput at
+    ~half the owner ceiling), and chains a remote merge task per batch;
+    a bounded in-flight window provides backpressure.  The result is a
+    Dataset over the merge outputs — only refs ever live on the
+    driver."""
+    import ray
+    import ray.data as rd
+
+    replicas = partition_actors(index_dir, num_buckets,
+                                num_replicas=num_replicas)
+    merge = _merge_remote()
+    chk = algo if algo in ("wand", "maxscore", "block_max_wand") else None
+    window = max(16, router_concurrency * 8)
+    out_refs: list = []
+    inflight: list = []
+    rr = 0
+    for batch in queries_ds.iter_batches(batch_size=batch_size,
+                                         batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        # one plasma copy per batch, shared by all B owners + the merge
+        bref = ray.put(batch)
+        actors = replicas[rr]
+        rr = (rr + 1) % len(replicas)
+        if quantized:
+            refs = [a.score_quantized_block.remote(bref, mode or algo, k,
+                                                   chk) for a in actors]
+        else:
+            refs = [a.score_block.remote(bref, algo, k) for a in actors]
+        r = merge.remote(k, quantized, bref, *refs)
+        out_refs.append(r)
+        inflight.append(r)
+        if len(inflight) >= window:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - window + 1)
+    return rd.from_arrow_refs(out_refs)
 
 
-def collect_block_profile(index_dir: str, num_buckets: int) -> dict[int, int]:
+def collect_block_profile(index_dir: str, num_buckets: int,
+                          num_replicas: int = 1) -> dict[int, int]:
     """Merged per-term access counters from all bucket owners."""
     import ray
 
-    key = (os.path.abspath(index_dir), num_buckets)
-    actors = _ACTOR_CACHE.get(key, [])
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    actors = [a for rs in _ACTOR_CACHE.get(key, []) for a in rs]
     merged: dict[int, int] = {}
     for prof in ray.get([a.block_profile.remote() for a in actors]):
         for t, c in prof.items():

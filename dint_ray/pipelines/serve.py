@@ -305,11 +305,14 @@ def run_queries_ray(queries_ds, index_dir: str, algo: str = "wand",
                                   "ranked_or", "ranked_and"):
         from dint_ray.pipelines.partitioned import run_queries_routed
 
-        buckets = num_buckets or max(2, concurrency // 2)
+        # bucket count is a memory decision (fixed by index size);
+        # scale throughput with the cluster via replicas + routers
+        buckets = num_buckets or min(8, max(2, concurrency // 2))
+        replicas = max(1, concurrency // (2 * buckets))
         return run_queries_routed(
             queries_ds, index_dir, algo=algo, k=k, num_buckets=buckets,
-            router_concurrency=max(2, concurrency - buckets),
-            batch_size=batch_size)
+            router_concurrency=max(2, concurrency // 2),
+            batch_size=batch_size, num_replicas=replicas)
     kwargs = {"algo": algo, "k": k}
     import ray
 

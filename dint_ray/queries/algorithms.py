@@ -144,12 +144,18 @@ class _ScoredList:
     precomputed as one vector op (dtw is cached on the index per term —
     query-independent), so the document-at-a-time loops below do array
     lookups instead of per-posting scoring calls.  Identical arithmetic
-    to scoring each posting scalar-wise: IEEE elementwise ops."""
+    to scoring each posting scalar-wise: IEEE elementwise ops.
+
+    ``dptr``/``wptr`` carry the raw array addresses for the C kernels
+    (filled by the per-(term, qf) cache: ``arr.ctypes.data`` costs a
+    ctypes object per access, measurable at 10^5 queries/sec)."""
 
     __slots__ = ("term", "docs", "w", "pos", "n", "universe",
-                 "max_weight", "size", "cur")
+                 "max_weight", "size", "cur", "dptr", "wptr")
 
     def __init__(self, term, docs, w, universe, max_weight):
+        self.dptr = None
+        self.wptr = None
         self.term = term
         self.docs = docs        # uint32 ndarray; stays numpy so decoded
         self.w = w              # lists shared via the object store are
@@ -191,25 +197,54 @@ def _df_of(index, term, docs):
 
 
 def _scored_lists(index, wdata: WandData, terms, with_bounds=False, dtype=np.float32):
+    """Per-query cursor construction.
+
+    The heavy parts — the qw*dtw weight vector, the term bound, and the
+    raw array addresses for the C kernels — are query-independent given
+    (term, qf), so they are cached on the index object: at serving rate
+    the same few thousand query terms recur millions of times and the
+    rebuild cost dominates the (C-kerneled) scoring itself."""
     lists = []
     norms = wdata.norms(dtype)
     num_docs = index.num_docs
+    cache = getattr(index, "_slc", None)
+    if cache is None:
+        cache = index._slc = {}
+    elif len(cache) > 100_000:   # bound per-actor weight-cache memory
+        cache.clear()
     for term, qf in query_freqs(terms):
-        if term not in index:
-            continue
-        docs, _ = index.cached_decode(term)
-        qw = query_term_weight(qf, _df_of(index, term, docs), num_docs, dtype)
-        dtw = index.doc_term_weights(term, norms, dtype)
-        w = (dtype(qw) * dtw).astype(dtype, copy=False)
-        if with_bounds:
-            if dtype is np.float32:
-                mw = np.float32(qw * wdata.max_term_weight[term])
+        key = (term, qf, with_bounds, dtype is np.float32)
+        hit = cache.get(key)
+        if hit is None:
+            if term not in index:
+                cache[key] = False
+                continue
+            docs, _ = index.cached_decode(term)
+            qw = query_term_weight(qf, _df_of(index, term, docs), num_docs,
+                                   dtype)
+            dtw = index.doc_term_weights(term, norms, dtype)
+            w = (dtype(qw) * dtw).astype(dtype, copy=False)
+            if with_bounds:
+                if dtype is np.float32:
+                    mw = np.float32(qw * wdata.max_term_weight[term])
+                else:
+                    # recompute the bound in f64 so it stays an upper bound
+                    mw = dtype(qw * dtw.max())
             else:
-                # recompute the term bound in f64 so it stays an upper bound
-                mw = dtype(qw * dtw.max())
-        else:
-            mw = dtype(0.0)
-        lists.append(_ScoredList(term, docs, w, num_docs, mw))
+                mw = dtype(0.0)
+            dptr = wptr = None
+            if (dtype is np.float32 and docs.dtype == np.uint32
+                    and docs.flags.c_contiguous and w.flags.c_contiguous):
+                dptr = docs.ctypes.data
+                wptr = w.ctypes.data
+            hit = cache[key] = (docs, w, mw, dptr, wptr)
+        elif hit is False:
+            continue
+        docs, w, mw, dptr, wptr = hit
+        L = _ScoredList(term, docs, w, num_docs, mw)
+        L.dptr = dptr
+        L.wptr = wptr
+        lists.append(L)
     return lists
 
 

@@ -9,7 +9,9 @@ asserting exact roundtrip and exact consumed-byte count.
 import numpy as np
 import pytest
 
-from dint_ray.codecs import interpolative, simple16, u32, varbyte, varintgb
+from dint_ray.codecs import (interpolative, mixed, optpfor, simple16,
+                             streamvbyte, u32, varbyte, varint_g8iu,
+                             varintgb)
 from dint_ray.config import U32_INVALID
 
 RNG = np.random.default_rng(12345)
@@ -28,7 +30,8 @@ def _roundtrip(codec, values, sum_known):
 
 
 @pytest.mark.parametrize("codec", [u32, varbyte, interpolative, simple16,
-                                   varintgb])
+                                   varintgb, streamvbyte, optpfor,
+                                   varint_g8iu, mixed])
 @pytest.mark.parametrize("size", SIZES)
 @pytest.mark.parametrize("mag", MAGNITUDES)
 @pytest.mark.parametrize("sum_known", [False, True])
@@ -73,3 +76,76 @@ def test_interpolative_single_value():
     assert blob == b""  # n==1 with known sum needs no bits
     out, consumed = interpolative.decode(np.frombuffer(b"", np.uint8), 0, 42, 1)
     assert out[0] == 42
+
+
+# --------------------------------------------------------------------------
+# Elias-Fano + partitioned sequences (C12 family)
+# --------------------------------------------------------------------------
+
+def test_ef_roundtrip_magnitude_sweep():
+    """compact EF over the reference's codec-test recipe
+    (test_block_codecs.cpp:9-49 magnitudes x sizes, seeded)."""
+    import numpy as np
+
+    from dint_ray.codecs.ef import ef_decode, ef_encode
+
+    rng = np.random.default_rng(12345)
+    for mag in range(1, 25, 3):
+        for n in (1, 16, 255, 256, 1000):
+            u = max((1 << mag), n + 1)
+            vals = np.sort(rng.integers(0, u, size=n, dtype=np.uint64))
+            enc = ef_encode(vals, u)
+            dec, off = ef_decode(enc)
+            assert off == len(enc)
+            assert np.array_equal(dec, vals), (mag, n)
+
+
+def test_sequence_kinds_roundtrip_and_density():
+    import numpy as np
+
+    from dint_ray.index.sequences import (SEQ_KINDS, SequenceListView,
+                                          write_sequence_list)
+
+    rng = np.random.default_rng(77)
+    for kind in SEQ_KINDS:
+        for n, u in ((1, 10), (100, 200), (500, 100000), (5000, 5001)):
+            docs = np.sort(rng.choice(u, size=min(n, u),
+                                      replace=False)).astype(np.uint32)
+            freqs = rng.integers(1, 300, len(docs)).astype(np.uint32)
+            pl = write_sequence_list(docs, freqs, kind, universe=u)
+            d, f = SequenceListView(pl).decode_all()
+            assert np.array_equal(d, docs), (kind, n, u)
+            assert np.array_equal(f, freqs), (kind, n, u)
+    # all-ones partitions: a dense run must cost ~nothing
+    docs = np.arange(4096, dtype=np.uint32)
+    freqs = np.ones(4096, np.uint32)
+    pl = write_sequence_list(docs, freqs, "pef_opt", universe=4096)
+    # docs side is all-ones (near-free); the ~2 bits/posting left is the
+    # freqs positive_sequence (EF over a unit-step cumsum)
+    assert len(pl) * 8 / 4096 < 2.5
+
+
+def test_pef_index_kind_end_to_end():
+    """build_index_local with sequence kinds + full verify replay +
+    query equality vs the DINT index."""
+    import numpy as np
+
+    from dint_ray.index.build import build_index_local, verify_index
+    from dint_ray.queries import algorithms as qa
+
+    rng = np.random.default_rng(3)
+    postings = {}
+    for t in range(20):
+        n = int(rng.integers(5, 2000))
+        docs = np.sort(rng.choice(8000, size=n, replace=False)).astype(np.uint32)
+        freqs = rng.integers(1, 64, n).astype(np.uint32)
+        postings[t] = (docs, freqs)
+    sizes = rng.integers(8, 512, 8000).astype(np.uint32)
+    ref = build_index_local(postings, sizes, 8000, kind="single_packed")
+    for kind in ("ef", "pef_uniform", "pef_opt"):
+        built = build_index_local(postings, sizes, 8000, kind=kind)
+        verify_index(built.index, postings)
+        for q in ([0, 3], [1, 2, 5], [7], [10, 11, 12, 13]):
+            want = qa.wand(ref.index, ref.wand, q, k=10)
+            got = qa.wand(built.index, built.wand, q, k=10)
+            assert got == want, (kind, q)

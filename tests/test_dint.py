@@ -250,3 +250,31 @@ def test_overlap_dict_codec_roundtrip():
             np.frombuffer(blob, dtype=np.uint8), 0, int(buf.sum()), len(buf))
         np.testing.assert_array_equal(out, buf)
         assert consumed == len(blob)
+
+
+def test_rect_dictionary_matches_packed_stream():
+    """single_rect: fixed 16-u32 slots; the codeword stream (and so
+    bits/int) must equal single_packed built from the same stats
+    (reference README rows 1-2 are identical,
+    rectangular_dictionary.hpp:14-227)."""
+    import numpy as np
+
+    from dint_ray.index.build import build_index_local, verify_index
+
+    rng = np.random.default_rng(17)
+    postings = {}
+    for t in range(25):
+        n = int(rng.integers(10, 3000))
+        docs = np.sort(rng.choice(10000, size=n, replace=False)).astype(np.uint32)
+        freqs = rng.integers(1, 32, n).astype(np.uint32)
+        postings[t] = (docs, freqs)
+    sizes = rng.integers(8, 512, 10000).astype(np.uint32)
+    packed = build_index_local(postings, sizes, 10000, kind="single_packed")
+    rect = build_index_local(postings, sizes, 10000, kind="single_rect")
+    verify_index(rect.index, postings)
+    bp = packed.stats_bits_per_int()["bits_per_posting_pair"]
+    br = rect.stats_bits_per_int()["bits_per_posting_pair"]
+    assert abs(bp - br) < 1e-9
+    # payloads byte-identical: same codeword values, same layout
+    for t in postings:
+        assert packed.index.payloads[t] == rect.index.payloads[t]
