@@ -76,7 +76,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from dint_ray.pipelines.verify import _ShardFps
 
-    shard_files = sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    from dint_ray.index.shards import shard_files as _sf
+
+    shard_files = _sf(out_dir)
     stbl = pq.read_table(shard_files, columns=["df", "payload"])
     total_postings = int(np.sum(stbl.column("df").to_numpy()))
     payload_bytes = sum(len(p) for p in stbl.column("payload").to_pylist())

@@ -12,8 +12,10 @@ from __future__ import annotations
 
 from dint_ray.codecs import (
     interpolative,
+    maskedvbyte,
     mixed,
     optpfor,
+    qmx,
     simple16,
     streamvbyte,
     u32,
@@ -31,6 +33,8 @@ CODECS: dict[str, object] = {
     "streamvbyte": streamvbyte,
     "optpfor": optpfor,
     "varint_g8iu": varint_g8iu,
+    "maskedvbyte": maskedvbyte,
+    "qmx": qmx,
     "mixed": mixed,
 }
 

@@ -49,18 +49,34 @@ def _cost_bytes(v: np.ndarray, b: int) -> int:
     return cost
 
 
-def encode(values: np.ndarray, sum_of_values: int = U32_INVALID) -> bytes:
-    v = np.asarray(values, dtype=np.uint64)
-    n = len(v)
-    if n == 0:
-        return b""
-    maxbits = int(v.max()).bit_length()
+def _find_best_b(v: np.ndarray) -> int:
+    maxbits = int(v.max()).bit_length() if len(v) else 0
     best_b, best_cost = 0, None
     for b in range(0, maxbits + 1):
         c = _cost_bytes(v, b)
         if best_cost is None or c < best_cost:
             best_b, best_cost = b, c
-    b = best_b
+    return best_b
+
+
+def block_stats(values: np.ndarray) -> tuple[int, int]:
+    """(chosen b, exception count) — the encoder state the reference's
+    time model reads as pfor_b / pfor_exceptions features
+    (dec_time_prediction.hpp feature list)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return 0, 0
+    b = _find_best_b(v)
+    exc = v >> np.uint64(b) if b < 64 else np.zeros(len(v), np.uint64)
+    return b, int(np.count_nonzero(exc))
+
+
+def encode(values: np.ndarray, sum_of_values: int = U32_INVALID) -> bytes:
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    b = _find_best_b(v)
     exc = v >> np.uint64(b) if b < 64 else np.zeros(n, np.uint64)
     m = exc != 0
     out = bytearray([b])

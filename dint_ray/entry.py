@@ -527,7 +527,9 @@ def q_index_roundtrip(sf_dir: str, kind: str = "single_packed"):
     idir = ensure_index(sf_dir, kind)
     import glob
 
-    shard_files = sorted(glob.glob(os.path.join(idir, "shard-*.parquet")))
+    from dint_ray.index.shards import shard_files as _sf
+
+    shard_files = _sf(idir)
     shards = rd.read_parquet(shard_files, columns=["term_id", "payload"])
     return shards.map_batches(
         _DecodeShard, fn_constructor_kwargs={"index_dir": idir},
@@ -706,6 +708,44 @@ def q_ranked_and_routed(sf_dir: str):
     return _run_routed(sf_dir, "ranked_and", "ranked_and")
 
 
+SQL_BLOCK_PROFILE = _sql_prelude(with_queries=True) + """,
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+w AS (SELECT ((n + 3) // 4)::BIGINT AS width FROM nd),
+tb AS (
+  SELECT t.term_id, count(DISTINCT t.doc_id // w.width)::BIGINT AS nb
+  FROM tpost t CROSS JOIN w GROUP BY t.term_id
+),
+qt AS (SELECT DISTINCT query_id, term_id FROM qlog),
+qc AS (SELECT term_id, count(*)::BIGINT AS nq FROM qt GROUP BY term_id)
+SELECT qc.term_id::BIGINT AS term_id, (qc.nq * tb.nb)::BIGINT AS touches
+FROM qc JOIN tb ON tb.term_id = qc.term_id
+"""
+
+
+def q_block_profile(sf_dir: str):
+    """block_profiler equivalent: per-term access counters kept inside
+    every bucket owner during serving, merged at collect time
+    (/root/reference/include/ds2i/block_profiler.hpp:9-63).  A term is
+    touched once per query per bucket that holds any of its postings —
+    exactly what the SQL oracle counts."""
+    from dint_ray.pipelines.partitioned import (collect_block_profile,
+                                                partition_actors,
+                                                reset_block_profile,
+                                                run_queries_routed)
+
+    idir = ensure_index(sf_dir, "single_packed")
+    partition_actors(idir, 4)
+    reset_block_profile(idir, 4)
+    run_queries_routed(_query_ds(QUERY_LOG), idir, algo="ranked_or", k=K,
+                       num_buckets=4).count()
+    prof = collect_block_profile(idir, 4)
+    items = sorted(prof.items())
+    return pa.table({
+        "term_id": pa.array([t for t, _ in items], pa.int64()),
+        "touches": pa.array([c for _, c in items], pa.int64()),
+    })
+
+
 def q_bool_counts(sf_dir: str):
     return _run_conformance(sf_dir, "counts")
 
@@ -848,6 +888,12 @@ def registry():
         "index_roundtrip_block_mixed": (
             lambda sf: q_index_roundtrip(sf, "block_mixed"),
             SQL_POSTING_LISTS),
+        "index_roundtrip_block_maskedvbyte": (
+            lambda sf: q_index_roundtrip(sf, "block_maskedvbyte"),
+            SQL_POSTING_LISTS),
+        "index_roundtrip_block_qmx": (
+            lambda sf: q_index_roundtrip(sf, "block_qmx"),
+            SQL_POSTING_LISTS),
         "index_roundtrip_ef": (
             lambda sf: q_index_roundtrip(sf, "ef"), SQL_POSTING_LISTS),
         "index_roundtrip_pef": (
@@ -863,6 +909,7 @@ def registry():
         "bm25_maxscore_routed": (q_maxscore_routed, SQL_RANKED_OR),
         "bm25_ranked_and_routed": (q_ranked_and_routed, SQL_RANKED_AND),
         "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),
+        "block_profile": (q_block_profile, SQL_BLOCK_PROFILE),
         "pairwise_intersect": (q_pairwise_intersect, SQL_PAIRWISE_INTERSECT),
         "text_stats": (q_text_stats, SQL_TEXT_STATS),
         "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -121,6 +121,18 @@ class InvertedIndex:
         return r
 
 
+def shard_files(index_dir: str) -> list[str]:
+    """Every shard parquet file of a built index — supports both the
+    flat legacy layout (shard-N.parquet) and the partitioned streaming
+    layout (shards/shard=N/*.parquet)."""
+    import glob
+
+    fs = sorted(glob.glob(os.path.join(index_dir, "shard-*.parquet")))
+    fs += sorted(glob.glob(os.path.join(index_dir, "shards", "shard=*",
+                                        "*.parquet")))
+    return fs
+
+
 def write_shard(path: str, rows: list[tuple[int, int, float, bytes]]) -> dict:
     """rows: (term_id, df, max_weight, payload), any order; written
     sorted by term_id, atomically (temp + rename)."""
@@ -154,7 +166,16 @@ def load_shards(index_dir: str, docs_codec, freqs_codec,
     for i, shard in enumerate(manifest["shards"]):
         if shard_ids is not None and i not in shard_ids:
             continue
-        t = pq.read_table(os.path.join(index_dir, shard["path"]))
+        p = os.path.join(index_dir, shard["path"])
+        if os.path.isdir(p):
+            import glob as _g
+
+            files = sorted(_g.glob(os.path.join(p, "*.parquet")))
+            if not files:
+                continue
+            t = pq.read_table(files)
+        else:
+            t = pq.read_table(p)
         tids = t.column("term_id").to_numpy()
         mws = t.column("max_weight").to_numpy()
         pls = t.column("payload").to_pylist()

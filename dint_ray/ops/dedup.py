@@ -259,14 +259,23 @@ def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
     cands = minhash_candidates_ds(docs_ds, num_hashes, shingle_k, bands,
                                   concurrency)
     # dedupe candidate pairs before the (expensive) verify: native
-    # groupby-aggregate (keys-only distinct), no per-group Python
+    # groupby-aggregate (keys-only distinct), no per-group Python.
+    # materialized: (a) pairs are tiny (candidate count), (b) fusing
+    # the candidate plan with BOTH join plans puts 3 hash shuffles + 3
+    # read branches + 3 actor-pool minimums in ONE execution, which
+    # deadlocks when the shuffle aggregators alone reserve most of a
+    # small CPU budget — staging keeps each execution to one shuffle
     uniq = (cands.groupby(["doc_a", "doc_b"]).aggregate(Count())
             .select_columns(["doc_a", "doc_b"])
-            .map_batches(_typed_pairs, batch_format="pyarrow"))
+            .map_batches(_typed_pairs, batch_format="pyarrow")
+            .materialize())
+    # shingle sets are computed ONCE and reused by both join sides
+    # (object-store copy, spillable) instead of re-running _ShingleSets
+    # in two branches of one fused plan
     sh = docs_ds.map_batches(
         _ShingleSets, fn_constructor_kwargs={"k": shingle_k},
         batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, concurrency), num_cpus=1)
+        concurrency=(1, concurrency), num_cpus=1).materialize()
     j1 = _attach_binary(uniq, sh, key_col="doc_a", out_col="sids_a",
                         carry=[], num_partitions=num_partitions)
     j2 = _attach_binary(j1, sh, key_col="doc_b", out_col="sids_b",
@@ -599,34 +608,45 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
 
     Shape: shingle rows -> groupby(shingle) pair emission ->
     groupby(pair).count = |intersection|; per-doc shingle cardinalities
-    are broadcast (small side).  Exact but quadratic in co-occurring
+    are attached by the same distributed hash-join as the minhash
+    verify (no driver state).  Exact but quadratic in co-occurring
     docs per shingle -- the scale path is minhash_dedup_pairs_ds; this
     is the oracle-checkable baseline (SURVEY.md training-data ops)."""
-    import ray
     from ray.data.aggregate import Count
 
     shingles = docs_ds.map_batches(
         _ShingleRows, fn_constructor_kwargs={"k": k},
         batch_format="pyarrow", batch_size=1024,
         concurrency=(1, concurrency), num_cpus=1,
-    ).materialize()  # used twice: cardinalities + pair emission
+    )
 
-    def _card_as_binary(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "sids": pa.array([], pa.binary())})
-        c = batch.column("count()").to_numpy().astype(np.int64)
+    def _card_rows(batch: pa.Table) -> pa.Table:
+        """Per-doc shingle-set cardinality, computed directly from the
+        doc batch (every doc's shingles live in one batch -> no shuffle,
+        no groupby).  Encoded as the 8-byte binary ``sids`` payload the
+        shared hash-join helper expects."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        tok = re.compile(TOKEN_RE)
+        cards = []
+        for text in texts:
+            toks = tok.findall(text.lower())
+            cards.append(len({" ".join(toks[i : i + k])
+                              for i in range(len(toks) - k + 1)}))
         return pa.table({
-            "doc_id": batch.column("doc_id").cast(pa.int64()),
-            "sids": pa.array([int(x).to_bytes(8, "little") for x in c],
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "sids": pa.array([int(x).to_bytes(8, "little") for x in cards],
                              pa.binary()),
         })
 
     # per-doc shingle cardinalities stay a Dataset (round 1 pulled them
     # to a driver dict — O(num_docs) driver memory); attached to the
-    # pair rows by the same distributed hash-join used for minhash
-    card_ds = (shingles.groupby("doc_id").aggregate(Count())
-               .map_batches(_card_as_binary, batch_format="pyarrow"))
+    # pair rows by the same distributed hash-join used for minhash.
+    # materialized (16 bytes/doc, spillable): fusing it into both join
+    # plans would put 4 hash shuffles in one execution, whose aggregator
+    # actors alone can consume a small CPU budget and deadlock the reads
+    card_ds = docs_ds.map_batches(_card_rows, batch_format="pyarrow",
+                                  batch_size=1024, num_cpus=1).materialize()
 
     num_buckets = 64
 
@@ -669,24 +689,43 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
         .aggregate(Count())
     )
 
-    class Threshold:
-        def __init__(self) -> None:
-            self.card = ray.get(card_ref)
+    def _pack_inter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "icount": pa.array([], pa.binary())})
+        i = batch.column("count()").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": batch.column("doc_a").cast(pa.int64()),
+            "doc_b": batch.column("doc_b").cast(pa.int64()),
+            "icount": pa.array([int(x).to_bytes(8, "little") for x in i],
+                               pa.binary()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
-            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            i = batch.column("count()").to_numpy(zero_copy_only=False)
-            ca = np.fromiter((self.card[int(x)] for x in da), dtype=np.int64,
-                             count=len(da))
-            cb = np.fromiter((self.card[int(x)] for x in db), dtype=np.int64,
-                             count=len(db))
-            keep = i.astype(np.float64) / (ca + cb - i) >= threshold
-            return pa.table({
-                "doc_a": pa.array(da[keep].astype(np.int64), pa.int64()),
-                "doc_b": pa.array(db[keep].astype(np.int64), pa.int64()),
-            })
+    # materialized for the same reason: the intersection plan already
+    # spends two shuffles (bucket + pair-count); the joins add two more
+    packed = inter.map_batches(_pack_inter, batch_format="pyarrow",
+                               num_cpus=1).materialize()
+    j1 = _attach_binary(packed, card_ds, key_col="doc_a", out_col="card_a",
+                        carry=["icount"], num_partitions=16)
+    j2 = _attach_binary(j1, card_ds, key_col="doc_b", out_col="card_b",
+                        carry=["icount", "card_a"], num_partitions=16)
 
-    return inter.map_batches(Threshold, batch_format="pyarrow",
-                             batch_size=8192, concurrency=(1, concurrency),
-                             num_cpus=1)
+    def _threshold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "icount" not in batch.column_names:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        dec = lambda col: np.asarray(
+            [int.from_bytes(v, "little") for v in
+             batch.column(col).to_pylist()], dtype=np.int64)
+        i, ca, cb = dec("icount"), dec("card_a"), dec("card_b")
+        keep = i.astype(np.float64) / (ca + cb - i) >= threshold
+        return pa.table({
+            "doc_a": pa.array(da[keep].astype(np.int64), pa.int64()),
+            "doc_b": pa.array(db[keep].astype(np.int64), pa.int64()),
+        })
+
+    return j2.map_batches(_threshold, batch_format="pyarrow",
+                          batch_size=None, num_cpus=1)

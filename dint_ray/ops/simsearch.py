@@ -210,7 +210,8 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                                   concurrency=(1, concurrency), num_cpus=1)
                .repartition(num_partitions, keys=["bucket"], sort=False)
                .map_batches(BucketScorer, batch_format="pyarrow",
-                            batch_size=None, num_cpus=1))
+                            batch_size=None,
+                            concurrency=(1, concurrency), num_cpus=1))
     return (partial.repartition(num_partitions, keys=["query_id"], sort=False)
             .map_batches(_final_topk_block, fn_kwargs={"k": k},
                          batch_format="pyarrow", batch_size=None, num_cpus=1))

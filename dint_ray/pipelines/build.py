@@ -492,27 +492,32 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         shard = (batch.column("term_id").to_numpy() % num_shards).astype(np.uint32)
         return batch.append_column("shard", pa.array(shard, pa.uint32()))
 
-    def write_one_shard(group: pa.Table) -> pa.Table:
-        sid = int(group.column("shard")[0].as_py())
-        rows = list(zip(
-            group.column("term_id").to_numpy().tolist(),
-            group.column("df").to_numpy().tolist(),
-            group.column("max_weight").to_numpy().tolist(),
-            group.column("payload").to_pylist(),
-        ))
-        lineage = write_shard(os.path.join(out_dir, f"shard-{sid}.parquet"), rows)
-        lineage["shard_id"] = sid
-        lineage["input"] = os.path.basename(pages_path)
-        return pa.table({"lineage": pa.array([json.dumps(lineage)], pa.string())})
-
-    lineage_rows = (
-        encoded.map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(write_one_shard, batch_format="pyarrow")
-        .take_all()
-    )
-    shards = sorted((json.loads(r["lineage"]) for r in lineage_rows),
-                    key=lambda s: s["shard_id"])
+    # partitioned streaming write: one DIRECTORY per shard, many block
+    # files — no whole-shard UDF call (round 1 funneled each shard
+    # through one groupby().map_groups task, which at 100x means one
+    # task holding an entire shard in memory); lineage comes from the
+    # written parquet footers
+    shards_dir = os.path.join(out_dir, "shards")
+    (encoded.map_batches(add_shard, batch_format="pyarrow")
+     .write_parquet(shards_dir, partition_cols=["shard"]))
+    shards = []
+    for sid in range(num_shards):
+        part_dir = os.path.join(shards_dir, f"shard={sid}")
+        files = sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []
+        rows = nbytes = 0
+        for fn in files:
+            fp = os.path.join(part_dir, fn)
+            md = pq.read_metadata(fp)
+            rows += md.num_rows
+            nbytes += os.path.getsize(fp)
+        shards.append({
+            "path": os.path.join("shards", f"shard={sid}"),
+            "shard_id": sid,
+            "rows": rows,
+            "bytes": nbytes,
+            "files": len(files),
+            "input": os.path.basename(pages_path),
+        })
     _tick("encode_and_shards", t)
 
     write_manifest(

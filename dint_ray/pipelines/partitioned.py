@@ -404,6 +404,9 @@ class PartitionScorer:
         caller — /root/reference/include/ds2i/block_profiler.hpp:9-63)."""
         return dict(self._profile)
 
+    def reset_profile(self):
+        self._profile.clear()
+
 
 # --------------------------------------------------------------------------
 # routing
@@ -575,6 +578,15 @@ def run_queries_routed(queries_ds, index_dir: str, algo: str = "wand",
             done, inflight = ray.wait(
                 inflight, num_returns=len(inflight) - window + 1)
     return rd.from_arrow_refs(out_refs)
+
+
+def reset_block_profile(index_dir: str, num_buckets: int,
+                        num_replicas: int = 1) -> None:
+    import ray
+
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    actors = [a for rs in _ACTOR_CACHE.get(key, []) for a in rs]
+    ray.get([a.reset_profile.remote() for a in actors])
 
 
 def collect_block_profile(index_dir: str, num_buckets: int,

@@ -1,14 +1,15 @@
 """Distributed BM25 query serving.
 
-Queries are a Dataset of (query_id, terms); scoring runs in an actor
-pool where each actor loads the index once in __init__ (ST2-ST4 in
-SURVEY.md §2.3) and scores whole query batches.
+Queries are a Dataset of (query_id, terms).  Two paths:
 
-Placement note (SURVEY.md §2.6 J3): at test scale every scorer holds
-all shards (index << RAM) and queries are embarrassingly parallel; at
-10^12-doc scale each actor would own `term_id % P` shard sets and a
-routing stage would split each query's terms to owners, merging
-per-shard top-k exactly (§2.8 O1).
+- ROUTED (default, pipelines/partitioned.py): doc-bucket owner actors
+  each decode only their slice; async scatter-gather + exact merge.
+  The shape that survives 10^12 docs (SURVEY.md §2.6 J3 / §2.8 O1).
+- BROADCAST (``broadcast=True``): the whole index is decoded once into
+  a shared zero-copy image (SharedScoredIndex) and shipped to a scorer
+  actor pool via the object store — lowest latency while the index
+  fits one worker's memory (ST2-ST4 in SURVEY.md §2.3; the reference's
+  single mmap image, queries.cpp:69-83).
 """
 
 from __future__ import annotations
@@ -179,8 +180,14 @@ def _build_shared_index(index_dir: str):
             self.norms = ray.get(norms_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # partitioned shard files carry rows in write order — sort
+            # by term so the downstream span computation (which expects
+            # contiguous per-term runs) stays valid
             tids = batch.column("term_id").to_numpy()
-            payloads = batch.column("payload").to_pylist()
+            order = np.argsort(tids, kind="stable")
+            tids = tids[order]
+            pl_all = batch.column("payload").to_pylist()
+            payloads = [pl_all[i] for i in order]
             t_out, d_out, f_out, w_out = [], [], [], []
             for tid, pl in zip(tids, payloads):
                 v = PostingListView(pl, self.docs_codec, self.freqs_codec)
@@ -198,7 +205,9 @@ def _build_shared_index(index_dir: str):
                                 np.empty(0, np.float32), pa.float32()),
             })
 
-    shard_files = sorted(glob.glob(os.path.join(index_dir, "shard-*.parquet")))
+    from dint_ray.index.shards import shard_files as _sf
+
+    shard_files = _sf(index_dir)
     flat = rd.read_parquet(shard_files).map_batches(
         DecodeShard, batch_format="pyarrow", batch_size=None,
         concurrency=(1, max(4, len(shard_files) // 2)), num_cpus=1)
@@ -208,16 +217,21 @@ def _build_shared_index(index_dir: str):
     ends = np.zeros(nterms, dtype=np.int64)
     docs_parts, freqs_parts, w_parts = [], [], []
     off = 0
-    # rows are term- then doc-sorted within each block and blocks come
-    # back in dataset order, so per-block unique gives the spans — no
-    # global sort; a term split across consecutive blocks (block-size
-    # splitting of a big shard) just extends its end
+    # spans from contiguous runs: every term is exactly one posting-list
+    # row, so its decoded postings form one contiguous run; blocks may
+    # coalesce several (individually sorted) batches, so global term
+    # order across a block is NOT guaranteed — only run contiguity is
     for t in tabs:
         tid = t.column("term_id").to_numpy()
-        u, first = np.unique(tid, return_index=True)
-        fresh = starts[u] == -1
-        starts[u[fresh]] = off + first[fresh]
-        ends[u] = off + np.append(first[1:], len(tid))
+        change = np.flatnonzero(np.diff(tid.astype(np.int64))) + 1
+        s_idx = np.concatenate(([0], change))
+        e_idx = np.concatenate((change, [len(tid)]))
+        run_terms = tid[s_idx].astype(np.int64)
+        fresh = starts[run_terms] == -1
+        starts[run_terms[fresh]] = off + s_idx[fresh]
+        # a term split across consecutive blocks (block splitting of a
+        # big row) just extends its end
+        ends[run_terms] = off + e_idx
         docs_parts.append(t.column("doc_id").to_numpy())
         freqs_parts.append(t.column("tf").to_numpy())
         w_parts.append(t.column("w32").to_numpy())

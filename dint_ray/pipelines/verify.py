@@ -86,7 +86,9 @@ def verify_index_ray(index_dir: str) -> dict:
     want = collect(rd.read_parquet(os.path.join(index_dir, "postings"))
                    .map_batches(_postings_fps, batch_format="pyarrow",
                                 batch_size=None))
-    shard_files = sorted(glob.glob(os.path.join(index_dir, "shard-*.parquet")))
+    from dint_ray.index.shards import shard_files as _sf
+
+    shard_files = _sf(index_dir)
     got = collect(rd.read_parquet(shard_files).map_batches(
         _ShardFps, fn_constructor_kwargs={"index_dir": index_dir},
         batch_format="pyarrow", batch_size=None, concurrency=(1, 8),

@@ -9,9 +9,9 @@ asserting exact roundtrip and exact consumed-byte count.
 import numpy as np
 import pytest
 
-from dint_ray.codecs import (interpolative, mixed, optpfor, simple16,
-                             streamvbyte, u32, varbyte, varint_g8iu,
-                             varintgb)
+from dint_ray.codecs import (interpolative, maskedvbyte, mixed, optpfor,
+                             qmx, simple16, streamvbyte, u32, varbyte,
+                             varint_g8iu, varintgb)
 from dint_ray.config import U32_INVALID
 
 RNG = np.random.default_rng(12345)
@@ -31,7 +31,7 @@ def _roundtrip(codec, values, sum_known):
 
 @pytest.mark.parametrize("codec", [u32, varbyte, interpolative, simple16,
                                    varintgb, streamvbyte, optpfor,
-                                   varint_g8iu, mixed])
+                                   varint_g8iu, maskedvbyte, qmx, mixed])
 @pytest.mark.parametrize("size", SIZES)
 @pytest.mark.parametrize("mag", MAGNITUDES)
 @pytest.mark.parametrize("sum_known", [False, True])

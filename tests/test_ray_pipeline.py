@@ -46,7 +46,7 @@ def test_manifest_lineage(built):
     assert manifest["num_docs"] == N_DOCS
     assert len(manifest["shards"]) <= 4
     for s in manifest["shards"]:
-        assert s["rows"] > 0 and s["bytes"] > 0 and "wall_sec" in s
+        assert s["rows"] > 0 and s["bytes"] > 0 and s["files"] >= 1
         assert s["input"].startswith("pages_")
 
 
@@ -118,10 +118,12 @@ def test_verify_detects_corruption(built, tmp_path):
 
     from dint_ray.pipelines.verify import verify_index_ray
 
+    from dint_ray.index.shards import shard_files
+
     out_dir, *_ = built
     bad_dir = str(tmp_path / "bad")
     shutil.copytree(out_dir, bad_dir)
-    shard = sorted(glob.glob(os.path.join(bad_dir, "shard-*.parquet")))[0]
+    shard = shard_files(bad_dir)[0]
     t = pq.read_table(shard)
     payloads = t.column("payload").to_pylist()
     p = bytearray(payloads[0])
@@ -154,13 +156,32 @@ def test_build_resume_from_checkpoints(built, tmp_path):
     assert _time.time() - t0 < 2.0
 
     # 2. simulate a crash after encode started: manifest + shards lost
+    from dint_ray.index.shards import shard_files
+
+    def _content_hash(d):
+        """Order-independent hash of every (term_id, payload) row —
+        partitioned shard files have run-unique names, so identity is
+        checked on content, not file bytes."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for p in shard_files(d):
+            t = pq.read_table(p, columns=["term_id", "payload"])
+            rows.extend(zip(t.column("term_id").to_pylist(),
+                            t.column("payload").to_pylist()))
+        h = hashlib.sha1()
+        for tid, pl in sorted(rows):
+            h.update(tid.to_bytes(8, "little"))
+            h.update(pl)
+        return h.hexdigest()
+
     resume_dir = str(tmp_path / "resume")
     shutil.copytree(out_dir, resume_dir)
-    orig_hash = {os.path.basename(p): hashlib.sha1(open(p, "rb").read()).hexdigest()
-                 for p in glob.glob(os.path.join(resume_dir, "shard-*.parquet"))}
+    orig_hash = _content_hash(resume_dir)
     os.remove(os.path.join(resume_dir, "manifest.json"))
-    for p in glob.glob(os.path.join(resume_dir, "shard-*.parquet")):
+    for p in shard_files(resume_dir):
         os.remove(p)
+    shutil.rmtree(os.path.join(resume_dir, "shards"), ignore_errors=True)
     pages_path = pages_fixture_path(N_DOCS, VOCAB, seed=5)
     mtimes = {p: os.path.getmtime(p) for p in (
         os.path.join(resume_dir, "vocab.parquet"),
@@ -173,9 +194,7 @@ def test_build_resume_from_checkpoints(built, tmp_path):
     assert m2["num_docs"] == manifest["num_docs"]
     for p, t in mtimes.items():
         assert os.path.getmtime(p) == t, f"checkpoint {p} was rebuilt"
-    new_hash = {os.path.basename(p): hashlib.sha1(open(p, "rb").read()).hexdigest()
-                for p in glob.glob(os.path.join(resume_dir, "shard-*.parquet"))}
-    assert new_hash == orig_hash
+    assert _content_hash(resume_dir) == orig_hash
 
 
 def test_routed_matches_broadcast(built):
