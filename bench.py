@@ -170,7 +170,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 SCALING_DOCS = 200_000
 SCALING_VOCAB = 30_000
-SCALING_QUERIES = 80_000
+# sized so the 32-CPU leg's timed section is still dominated by owner
+# compute (the C-kernel WAND cursors made per-query work ~10x cheaper;
+# at 80k queries the fixed scatter/merge costs swamped the wide leg)
+SCALING_QUERIES = 320_000
 SCALING_DIR = "/tmp/dint_ray_scaling"
 
 
@@ -218,20 +221,23 @@ def run_scaling_inner(cpus: int) -> dict:
     # sizes; replicas + batch flow scale with the cluster
     buckets = 4
     replicas = max(1, cpus // 8)
-    run_queries_routed(queries_to_dataset(qlog[:256]), out_dir, algo="wand",
+    # batch 512: the driver's per-batch scatter cost (one ray.put +
+    # B+1 task submissions) must amortize over enough queries that the
+    # owners, not the driver loop, are the throughput ceiling
+    run_queries_routed(queries_to_dataset(qlog[:1024]), out_dir, algo="wand",
                        k=K, num_buckets=buckets,
-                       num_replicas=replicas, batch_size=64).count()
-    run_queries_ray(qds.limit(64), out_dir, algo="ranked_or_fast", k=K,
+                       num_replicas=replicas, batch_size=512).count()
+    run_queries_ray(qds.limit(512), out_dir, algo="ranked_or_fast", k=K,
                     concurrency=cpus, broadcast=True).count()
     serve = {}
     t0 = _t.time()
     run_queries_routed(qds, out_dir, algo="wand", k=K, num_buckets=buckets,
-                       num_replicas=replicas, batch_size=64,
+                       num_replicas=replicas, batch_size=512,
                        router_concurrency=max(4, cpus // 2)).count()
     serve["wand"] = round(SCALING_QUERIES / (_t.time() - t0), 1)
     t0 = _t.time()
     run_queries_ray(qds, out_dir, algo="ranked_or_fast", k=K,
-                    concurrency=cpus, batch_size=128,
+                    concurrency=cpus, batch_size=256,
                     broadcast=True).count()
     serve["ranked_or_fast"] = round(SCALING_QUERIES / (_t.time() - t0), 1)
     ray.shutdown()

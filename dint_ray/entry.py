@@ -536,6 +536,36 @@ def q_index_roundtrip(sf_dir: str, kind: str = "single_packed"):
         batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1)
 
 
+def q_index_transform_mixed(sf_dir: str):
+    """mixed_block the way the reference creates it: transform an
+    existing index (mixed_block.hpp:153-196 block_transformer), with
+    per-term access counts from the block profiler weighting the
+    decode-time side of each block's codec choice.  The oracle is the
+    same postings replay — the transform must be lossless."""
+    import ray.data as rd
+
+    from dint_ray.pipelines.partitioned import (collect_block_profile,
+                                                partition_actors,
+                                                run_queries_routed)
+    from dint_ray.pipelines.transform import transform_index_mixed
+
+    src = ensure_index(sf_dir, "single_packed")
+    out = src.rstrip("/") + "_mixed"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        partition_actors(src, 4)
+        run_queries_routed(_query_ds(QUERY_LOG), src, algo="ranked_or",
+                           k=K, num_buckets=4).count()
+        profile = collect_block_profile(src, 4)
+        transform_index_mixed(src, out, space_budget_ratio=1.2,
+                              profile=profile, num_shards=4)
+    from dint_ray.index.shards import shard_files as _sf
+
+    shards = rd.read_parquet(_sf(out), columns=["term_id", "payload"])
+    return shards.map_batches(
+        _DecodeShard, fn_constructor_kwargs={"index_dir": out},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1)
+
+
 class _ConformanceScorer:
     """Actor: quantized-BM25 top-k per query over the compressed index.
 
@@ -894,6 +924,8 @@ def registry():
         "index_roundtrip_block_qmx": (
             lambda sf: q_index_roundtrip(sf, "block_qmx"),
             SQL_POSTING_LISTS),
+        "index_transform_mixed": (q_index_transform_mixed,
+                                  SQL_POSTING_LISTS),
         "index_roundtrip_ef": (
             lambda sf: q_index_roundtrip(sf, "ef"), SQL_POSTING_LISTS),
         "index_roundtrip_pef": (

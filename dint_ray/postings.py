@@ -97,6 +97,38 @@ def _partial_df(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["term", "df_part"])
 
 
+def _sum_by_key(ds, key: str, val: str, out: str, key_type: pa.DataType,
+                driver_limit: int = 20_000_000) -> pa.Table | object:
+    """Exact `sum(val) group by key` over a map-side-combined Dataset.
+
+    Never uses ray.data's groupby().aggregate reducer (a per-group
+    Python loop — 215 s for an 11 M-row int aggregate, see SURVEY §6):
+    small inputs finish with ONE C++ group_by on the driver (returns a
+    pa.Table); large inputs hash-repartition by key and run one
+    vectorized pyarrow group_by per partition (returns a Dataset whose
+    rows are already unique per key)."""
+    import ray
+    import ray.data as rd
+
+    if ds.count() <= driver_limit:
+        tabs = [t for t in ray.get(ds.to_arrow_refs())
+                if t is not None and t.num_rows]
+        pt = pa.concat_tables(tabs, promote_options="default")
+        return (pt.group_by(key).aggregate([(val, "sum")])
+                .rename_columns([key, out]))
+
+    def _block_sum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or key not in b.column_names:
+            return pa.table({key: pa.array([], key_type),
+                             out: pa.array([], pa.int64())})
+        return (b.group_by(key).aggregate([(val, "sum")])
+                .rename_columns([key, out]))
+
+    return (ds.repartition(_shuffle_width(), keys=[key], sort=False)
+            .map_batches(_block_sum, batch_format="pyarrow",
+                         batch_size=None, num_cpus=1))
+
+
 def build_vocabulary(rows_ds) -> Vocabulary:
     """groupby(term) shuffle over per-batch partials -> driver vocabulary.
 
@@ -106,23 +138,10 @@ def build_vocabulary(rows_ds) -> Vocabulary:
     10^12-doc scale this would instead stay a Dataset and term_ids
     would be joined back via a hash-partitioned join on `term`.
     """
-    import ray
-    from ray.data.aggregate import Sum
-
     partial = rows_ds.map_batches(_partial_df, batch_format="pyarrow",
                               batch_size=None).materialize()
-    if partial.count() <= 2_000_000:
-        # per-batch combine already shrank the data to ~one row per
-        # (term, batch): finish with one C++ group_by on the driver
-        # instead of paying a Ray sort-shuffle's fixed cost
-        pt = pa.concat_tables(
-            [t for t in ray.get(partial.to_arrow_refs()) if t is not None])
-        pdf = (pt.group_by("term").aggregate([("df_part", "sum")])
-               .rename_columns(["term", "df"]).to_pandas())
-    else:
-        agg = _coalesce(partial).groupby("term").aggregate(
-            Sum("df_part", alias_name="df"))
-        pdf = agg.to_pandas()
+    res = _sum_by_key(partial, "term", "df_part", "df", pa.string())
+    pdf = res.to_pandas()
     pdf["df"] = pdf["df"].astype(np.int64)
     return make_vocabulary(pdf[["term", "df"]])
 
@@ -274,11 +293,12 @@ def _partial_sizes(batch: pa.Table) -> pa.Table:
 
 def doc_sizes(rows_ds):
     """(doc_id, len) Dataset; len = sum of tfs = token count."""
-    from ray.data.aggregate import Sum
+    import ray.data as rd
 
-    partial = _coalesce(rows_ds.map_batches(_partial_sizes, batch_format="pyarrow",
-                                        batch_size=None))
-    return partial.groupby("doc_id").aggregate(Sum("len_part", alias_name="len"))
+    partial = rows_ds.map_batches(_partial_sizes, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+    res = _sum_by_key(partial, "doc_id", "len_part", "len", pa.int64())
+    return rd.from_arrow(res) if isinstance(res, pa.Table) else res
 
 
 # --------------------------------------------------------------------------
