@@ -163,6 +163,21 @@ SELECT term_id, doc_id::BIGINT AS doc_id, tf FROM tpost
 SQL_RANKED_OR = _sql_ranked("or")
 SQL_RANKED_AND = _sql_ranked("and")
 
+# docids-only ranked view for the float32 compressed-serving entry:
+# its scores are float32 (not the quantized-BIGINT conformance unit),
+# so the oracle checks the ranked (query, rank, doc) triples
+SQL_RANKED_OR_DOCS = (_sql_prelude(with_queries=True) + "," +
+                      _BM25_CONTRIB_SQL + f"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id
+FROM (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score_u DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN qn ON qn.query_id = s.query_id
+) WHERE rank <= {K}
+""")
+
 SQL_BOOL_COUNTS = _sql_prelude(with_queries=True) + """,
 qn AS (SELECT query_id, count(*)::BIGINT AS nt FROM qlog GROUP BY query_id),
 hits AS (
@@ -227,6 +242,23 @@ SELECT doc_id::BIGINT AS doc_id,
          AS fingerprint_md5
 FROM documents
 """
+
+# one LE u32 word = sum of 4 hex-pair bytes of the sha256 digest
+SQL_MEDIA_FEATURES = """
+WITH h AS (
+  SELECT doc_id::BIGINT AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, {words}
+FROM h
+""".format(words=", ".join(
+    " + ".join(f"('0x' || substr(hx, {8 * i + 2 * j + 1}, 2))::BIGINT"
+               f" * {256 ** j}" for j in range(4)) + f" AS w{i}"
+    for i in range(8)))
 
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
@@ -730,6 +762,36 @@ def q_wand_routed(sf_dir: str):
     return _run_routed(sf_dir, "wand", "ranked_or")
 
 
+def q_wand_routed_compressed(sf_dir: str):
+    """float32 WAND over RAW DINT payloads in the bucket owners (lazy
+    per-block C decode, native.wand_compressed_query) — the
+    fixed-memory-node serving configuration.  Scores are float32, so
+    the oracle checks the ranked doc triples; score equality with the
+    decoded path is asserted bit-exactly in tests."""
+    import ray.data as rd
+
+    from dint_ray import native as nat
+    from dint_ray.pipelines.partitioned import run_queries_routed
+
+    idir = ensure_index(sf_dir, "single_packed")
+    qds = _query_ds(QUERY_LOG)
+    storage = "compressed" if nat.available() else "decoded"
+    out = run_queries_routed(qds, idir, algo="wand", k=K, num_buckets=4,
+                             storage=storage)
+    def strip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "query_id": b.column("query_id").cast(pa.int64()),
+            # the float routed path ranks from 0; the oracle (and the
+            # quantized entries) rank from 1
+            "rank": pc.add(b.column("rank").cast(pa.int64()), 1),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_maxscore_routed(sf_dir: str):
     return _run_routed(sf_dir, "maxscore", "ranked_or")
 
@@ -862,6 +924,20 @@ def q_lsh_knn(sf_dir: str):
     return lsh_knn_ds(_emb_ds(sf_dir), KNN_QUERY_IDS, k=KNN_K)
 
 
+def q_lsh_recall(sf_dir: str):
+    """Measured ANN quality: recall of the LSH bucketed path against
+    the exact scan, as integer percent (rows-only check — the metric
+    depends on the hyperplane seed, not SQL-expressible)."""
+    from dint_ray.ops.simsearch import lsh_recall
+
+    r = lsh_recall(_emb_ds(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+    return pa.table({
+        "k": pa.array([KNN_K], pa.int64()),
+        "num_queries": pa.array([len(KNN_QUERY_IDS)], pa.int64()),
+        "recall_pct": pa.array([int(round(r * 100))], pa.int64()),
+    })
+
+
 def q_embedding_dups(sf_dir: str):
     from dint_ray.ops.dedup import embedding_dup_pairs_ds
 
@@ -872,7 +948,12 @@ def q_embedding_dups(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing (decode stubbed; schema/actor layout real)."""
+    """Multimodal plumbing (decode stubbed; schema/actor layout real).
+
+    Oracle-checkable view: the fake decoder's float feature is a
+    bijection of the first 8 little-endian u32 words of
+    sha256(payload); the entry returns those words (w0..w7, int64)
+    so DuckDB recomputes them exactly from the same text bytes."""
     import ray.data as rd
 
     from dint_ray.ops.multimodal import media_features_ds, synthesize_media_table
@@ -882,7 +963,9 @@ def q_media_features(sf_dir: str):
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     media = rd.from_arrow(synthesize_media_table(docs))
-    return media_features_ds(media)
+    out = media_features_ds(media, emit_words=True)
+    return out.select_columns(["media_id", "kind", "n_bytes"] +
+                              [f"w{i}" for i in range(8)])
 
 
 # --------------------------------------------------------------------------
@@ -938,6 +1021,8 @@ def registry():
         "bm25_maxscore": (q_maxscore, SQL_RANKED_OR),
         "bm25_block_max_wand": (q_block_max_wand, SQL_RANKED_OR),
         "bm25_wand_routed": (q_wand_routed, SQL_RANKED_OR),
+        "bm25_wand_routed_compressed": (q_wand_routed_compressed,
+                                        SQL_RANKED_OR_DOCS),
         "bm25_maxscore_routed": (q_maxscore_routed, SQL_RANKED_OR),
         "bm25_ranked_and_routed": (q_ranked_and_routed, SQL_RANKED_AND),
         "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),
@@ -953,7 +1038,8 @@ def registry():
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
         "knn_lsh": (q_lsh_knn, None),
         "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
-        "media_features": (q_media_features, None),
+        "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+        "knn_lsh_recall": (q_lsh_recall, None),
     }
 
 

@@ -375,6 +375,353 @@ int64_t maxscore_query(int n_lists, const uint64_t *docs_ptrs,
     }
     return heap_finalize(&hp, out_docs, out_scores);
 }
+
+/* ======================================================================
+   Compressed-posting cursors: WAND directly over the DINT posting-list
+   layout (index/layout.py write_posting_list), no decoded flat arrays.
+
+   Per 256-int block: DINT single-dict b=16 codeword stream
+   (dint/codec.py _decode_codeword_stream semantics); partial tail
+   blocks (and whole lists < 256) are binary-interpolative
+   (codecs/interpolative.py).  Docs store d-gaps doc-prev-1; freqs
+   store freq-1 with a self-described varbyte sum.  BM25 weights are
+   computed on the fly in the exact float32 op order of
+   scoring.doc_term_weight, so results are bit-identical to the
+   decoded path (compile with -ffp-contract=off).
+
+   Mirrors the reference's query-time behavior: the C++ engine always
+   decodes per block at query time (dict_posting_list.hpp:88-343);
+   the decoded-flat mode is the extra single-node fast path.
+   ====================================================================== */
+
+static inline uint16_t ld16u(const uint8_t *p) {
+    return (uint16_t)(p[0] | ((uint16_t)p[1] << 8));
+}
+static inline uint32_t ld32u(const uint8_t *p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+           ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+/* TightVariableByte single value: 7-bit groups LSB-first, stop bit SET
+   on the last byte (codecs/varbyte.py) */
+static uint64_t vb_read(const uint8_t *p, int64_t *off) {
+    uint64_t v = 0; int shift = 0;
+    for (;;) {
+        uint8_t b = p[*off]; (*off)++;
+        v |= (uint64_t)(b & 0x7F) << shift;
+        if (b & 0x80) break;
+        shift += 7;
+    }
+    return v;
+}
+
+typedef struct { const uint8_t *p; int64_t pos; } BitRd;
+
+static uint32_t br_read(BitRd *r, int nbits) {
+    if (!nbits) return 0;
+    int64_t byte = r->pos >> 3;
+    int shift = (int)(r->pos & 7);
+    uint64_t acc = 0;
+    int need = (shift + nbits + 7) >> 3;
+    for (int i = 0; i < need; i++)
+        acc |= (uint64_t)r->p[byte + i] << (8 * i);
+    r->pos += nbits;
+    return (uint32_t)((acc >> shift) &
+                      ((nbits >= 32) ? 0xFFFFFFFFULL : ((1ULL << nbits) - 1)));
+}
+
+/* centered minimal binary code, u >= 1 (interpolative.py read_int) */
+static uint32_t br_read_int(BitRd *r, uint64_t u) {
+    int b = 63 - __builtin_clzll(u);
+    uint64_t m = (1ULL << (b + 1)) - u;
+    uint64_t val = br_read(r, b);
+    if (val >= m) val = (val << 1) + br_read(r, 1) - m;
+    return (uint32_t)val;
+}
+
+static void br_read_interp(BitRd *r, uint32_t *out, int lo, int n,
+                           uint32_t low, uint32_t high) {
+    int h = n / 2;
+    uint32_t val = low + br_read_int(r, (uint64_t)(high - low) + 1);
+    out[lo + h] = val;
+    if (n == 1) return;
+    if (h) br_read_interp(r, out, lo, h, low, val);
+    if (n - h - 1) br_read_interp(r, out, lo + h + 1, n - h - 1, val, high);
+}
+
+/* decode n interpolative-coded gaps; returns bytes consumed */
+static int64_t interp_decode(const uint8_t *p, uint32_t sum_known,
+                             int have_sum, int n, uint32_t *out) {
+    int64_t off = 0;
+    uint32_t sum = sum_known;
+    if (!have_sum) sum = (uint32_t)vb_read(p, &off);
+    out[n - 1] = sum;
+    if (n > 1) {
+        BitRd r = { p + off, 0 };
+        br_read_interp(&r, out, 0, n - 1, 0, sum);
+        off += (r.pos + 7) >> 3;
+        for (int i = n - 1; i >= 1; i--) out[i] -= out[i - 1];
+    }
+    return off;
+}
+
+typedef struct {
+    const int32_t  *lengths;   /* ints produced per codeword */
+    const int32_t  *offs;      /* masked table offsets */
+    const uint32_t *table;     /* padded flat entry table */
+} CDict;
+
+/* DINT b=16 codeword stream decode (codec.py _decode_codeword_stream):
+   cw 0 -> u16 literal, 1 -> u32 literal (two u16 LE), 2..6 -> zero run
+   (lengths 256..16), >= 7 -> copy dictionary entry.  Returns u16 code
+   units consumed. */
+static int64_t dint_decode16(const uint8_t *p, int n, const CDict *d,
+                             uint32_t *out) {
+    for (int i = 0; i < n; i++) out[i] = 0;
+    int produced = 0; int64_t cpos = 0;
+    while (produced < n) {
+        uint16_t cw = ld16u(p + 2 * cpos);
+        if (cw >= 7) {
+            int len = d->lengths[cw];
+            const uint32_t *e = d->table + d->offs[cw];
+            for (int i = 0; i < len; i++) out[produced + i] = e[i];
+            produced += len;
+            cpos += 1;
+        } else if (cw >= 2) {
+            produced += d->lengths[cw];   /* zero run, already zeroed */
+            cpos += 1;
+        } else if (cw == 0) {
+            out[produced++] = ld16u(p + 2 * (cpos + 1));
+            cpos += 2;
+        } else {
+            out[produced++] = (uint32_t)ld16u(p + 2 * (cpos + 1)) |
+                              ((uint32_t)ld16u(p + 2 * (cpos + 2)) << 16);
+            cpos += 3;
+        }
+    }
+    return cpos;
+}
+
+typedef struct {
+    const uint8_t *maxs_p;     /* u32 LE per block (unaligned) */
+    const uint8_t *endp_p;     /* u32 LE per block except last */
+    const uint8_t *body;       /* payload blocks */
+    int64_t n, nblocks;
+    /* decoded-block cache */
+    int64_t blk;
+    int     blk_size;
+    const uint8_t *fstart;     /* freq part of current block */
+    uint32_t docs[256];
+    float    w[256];
+    int      w_ready;
+    /* cursor */
+    int64_t pos;
+    int     ipos;
+    uint32_t cur;
+    float max_weight;
+    float qw;
+    int32_t term_idx;
+} CList;
+
+static void cl_load_block(CList *L, int64_t b, const CDict *dd) {
+    int size = (b == L->nblocks - 1) ? (int)(L->n - b * 256) : 256;
+    if (size == 0) size = 256;             /* n a multiple of 256 */
+    int64_t start = b == 0 ? 0 : (int64_t)ld32u(L->endp_p + 4 * (b - 1));
+    const uint8_t *p = L->body + start;
+    uint32_t bmax = ld32u(L->maxs_p + 4 * b);
+    int64_t prev = b == 0 ? -1 : (int64_t)ld32u(L->maxs_p + 4 * (b - 1));
+    uint32_t gaps[256];
+    int64_t used;
+    if (size == 256) {
+        used = 2 * dint_decode16(p, 256, dd, gaps);
+    } else {
+        uint32_t sum = (uint32_t)((int64_t)bmax - (prev + 1) - (size - 1));
+        used = interp_decode(p, sum, 1, size, gaps);
+    }
+    int64_t run = prev;
+    for (int i = 0; i < size; i++) {
+        run += 1 + (int64_t)gaps[i];
+        L->docs[i] = (uint32_t)run;
+    }
+    L->fstart = p + used;
+    L->blk = b; L->blk_size = size; L->w_ready = 0;
+}
+
+static void cl_load_weights(CList *L, const CDict *fd, const float *norms) {
+    uint32_t fr[256];
+    if (L->blk_size == 256) (void)dint_decode16(L->fstart, 256, fd, fr);
+    else (void)interp_decode(L->fstart, 0, 0, L->blk_size, fr);
+    for (int i = 0; i < L->blk_size; i++) {
+        float f = (float)(fr[i] + 1);
+        float nl = norms[L->docs[i]];
+        float dtw = f / (f + 1.2f * (0.5f + 0.5f * nl));
+        L->w[i] = L->qw * dtw;
+    }
+    L->w_ready = 1;
+}
+
+static void cl_open(CList *L, const uint8_t *payload, float qw,
+                    float max_weight, int32_t term_idx, const CDict *dd,
+                    uint32_t universe) {
+    int64_t off = 0;
+    L->n = (int64_t)vb_read(payload, &off);
+    L->nblocks = (L->n + 255) >> 8;
+    L->maxs_p = payload + off;
+    L->endp_p = L->maxs_p + 4 * L->nblocks;
+    L->body = L->endp_p + 4 * (L->nblocks - 1);
+    L->blk = -1; L->w_ready = 0;
+    L->qw = qw; L->max_weight = max_weight; L->term_idx = term_idx;
+    if (L->n > 0) {
+        cl_load_block(L, 0, dd);
+        L->pos = 0; L->ipos = 0; L->cur = L->docs[0];
+    } else {
+        L->pos = 0; L->ipos = 0; L->cur = universe;
+    }
+}
+
+static void cl_advance(CList *L, const CDict *dd, uint32_t universe) {
+    int64_t pos = L->pos + 1;
+    if (pos >= L->n) { L->pos = L->n; L->cur = universe; return; }
+    int64_t b = pos >> 8;
+    if (b != L->blk) cl_load_block(L, b, dd);
+    L->pos = pos; L->ipos = (int)(pos & 255);
+    L->cur = L->docs[L->ipos];
+}
+
+static void cl_next_geq(CList *L, uint32_t lb, const CDict *dd,
+                        uint32_t universe) {
+    if (L->cur >= lb) return;
+    int64_t b = L->pos >> 8;
+    int from = L->ipos;
+    if (ld32u(L->maxs_p + 4 * b) < lb) {
+        int64_t lo = b + 1, hi = L->nblocks;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (ld32u(L->maxs_p + 4 * mid) < lb) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= L->nblocks) { L->pos = L->n; L->cur = universe; return; }
+        cl_load_block(L, lo, dd);
+        b = lo; from = 0;
+    } else if (b != L->blk) {
+        cl_load_block(L, b, dd);
+    }
+    int lo2 = from, hi2 = L->blk_size;
+    while (lo2 < hi2) {
+        int mid = (lo2 + hi2) / 2;
+        if (L->docs[mid] < lb) lo2 = mid + 1; else hi2 = mid;
+    }
+    L->ipos = lo2; L->pos = b * 256 + lo2; L->cur = L->docs[lo2];
+}
+
+static float cl_weight(CList *L, const CDict *fd, const float *norms) {
+    if (!L->w_ready) cl_load_weights(L, fd, norms);
+    return L->w[L->ipos];
+}
+
+static void cl_sort_by_cur(CList **a, int n) {
+    for (int i = 1; i < n; i++) {
+        CList *e = a[i];
+        int j = i - 1;
+        while (j >= 0 && a[j]->cur > e->cur) { a[j + 1] = a[j]; j--; }
+        a[j + 1] = e;
+    }
+}
+
+/* full-list decode for conformance tests / replay */
+int64_t decode_list_compressed(
+        const uint8_t *payload,
+        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
+        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        uint32_t *out_docs, uint32_t *out_freqs) {
+    CDict dd = { dlen, doff, dtab };
+    CDict fd = { flen, foff, ftab };
+    int64_t off = 0;
+    int64_t n = (int64_t)vb_read(payload, &off);
+    int64_t nblocks = (n + 255) >> 8;
+    const uint8_t *maxs_p = payload + off;
+    const uint8_t *endp_p = maxs_p + 4 * nblocks;
+    const uint8_t *body = endp_p + 4 * (nblocks - 1);
+    int64_t prev = -1;
+    for (int64_t b = 0; b < nblocks; b++) {
+        int size = (b == nblocks - 1) ? (int)(n - b * 256) : 256;
+        if (size == 0) size = 256;
+        int64_t start = b == 0 ? 0 : (int64_t)ld32u(endp_p + 4 * (b - 1));
+        const uint8_t *p = body + start;
+        uint32_t bmax = ld32u(maxs_p + 4 * b);
+        uint32_t gaps[256], fr[256];
+        int64_t used;
+        if (size == 256) used = 2 * dint_decode16(p, 256, &dd, gaps);
+        else {
+            uint32_t sum = (uint32_t)((int64_t)bmax - (prev + 1) - (size - 1));
+            used = interp_decode(p, sum, 1, size, gaps);
+        }
+        if (size == 256) (void)dint_decode16(p + used, 256, &fd, fr);
+        else (void)interp_decode(p + used, 0, 0, size, fr);
+        int64_t run = prev;
+        for (int i = 0; i < size; i++) {
+            run += 1 + (int64_t)gaps[i];
+            out_docs[b * 256 + i] = (uint32_t)run;
+            out_freqs[b * 256 + i] = fr[i] + 1;
+        }
+        prev = run;
+    }
+    return n;
+}
+
+int64_t wand_compressed_query(
+        int n_lists, const uint64_t *payload_ptrs, const float *qws,
+        const float *max_weights,
+        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
+        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        const float *norms, uint32_t universe, int k,
+        int64_t *out_docs, float *out_scores) {
+    CDict dd = { dlen, doff, dtab };
+    CDict fd = { flen, foff, ftab };
+    CList ls[64];
+    CList *ordered[64];
+    for (int i = 0; i < n_lists; i++) {
+        cl_open(&ls[i], (const uint8_t *)(uintptr_t)payload_ptrs[i], qws[i],
+                max_weights[i], i, &dd, universe);
+        ordered[i] = &ls[i];
+    }
+    cl_sort_by_cur(ordered, n_lists);
+    Heap hp; heap_init(&hp, k);
+    int32_t cterms[64]; float cws[64];
+    for (;;) {
+        float ub = 0.0f;
+        int pivot = -1;
+        for (int idx = 0; idx < n_lists; idx++) {
+            if (ordered[idx]->cur >= universe) break;
+            ub = ub + ordered[idx]->max_weight;
+            if (heap_would_enter(&hp, ub)) { pivot = idx; break; }
+        }
+        if (pivot < 0) break;
+        uint32_t pivot_id = ordered[pivot]->cur;
+        if (pivot_id == ordered[0]->cur) {
+            int nc = 0;
+            for (int i = 0; i < n_lists; i++) {
+                if (ordered[i]->cur != pivot_id) break;
+                cterms[nc] = ordered[i]->term_idx;
+                cws[nc] = cl_weight(ordered[i], &fd, norms);
+                nc++;
+                cl_advance(ordered[i], &dd, universe);
+            }
+            heap_insert(&hp, sum_term_order(cterms, cws, nc), pivot_id);
+            cl_sort_by_cur(ordered, n_lists);
+        } else {
+            int nxt = pivot;
+            while (ordered[nxt]->cur == pivot_id) nxt--;
+            cl_next_geq(ordered[nxt], pivot_id, &dd, universe);
+            int j = nxt + 1;
+            while (j < n_lists && ordered[j]->cur < ordered[j - 1]->cur) {
+                CList *t = ordered[j]; ordered[j] = ordered[j - 1];
+                ordered[j - 1] = t;
+                j++;
+            }
+        }
+    }
+    return heap_finalize(&hp, out_docs, out_scores);
+}
 """
 
 _CDEF = """
@@ -393,6 +740,18 @@ int64_t maxscore_query(int n_lists, const uint64_t *docs_ptrs,
                        const uint64_t *w_ptrs, const int64_t *lens,
                        const float *max_weights, uint32_t universe, int k,
                        int64_t *out_docs, float *out_scores);
+int64_t decode_list_compressed(
+        const uint8_t *payload,
+        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
+        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        uint32_t *out_docs, uint32_t *out_freqs);
+int64_t wand_compressed_query(
+        int n_lists, const uint64_t *payload_ptrs, const float *qws,
+        const float *max_weights,
+        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
+        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        const float *norms, uint32_t universe, int k,
+        int64_t *out_docs, float *out_scores);
 """
 
 _lib = None
@@ -418,7 +777,12 @@ def _build_and_load():
         fd, tmp_so = tempfile.mkstemp(dir=cache_dir, suffix=".so")
         os.close(fd)
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+            # -ffp-contract=off: the on-the-fly BM25 weights in the
+            # compressed kernel must round exactly like numpy float32
+            # (no fused multiply-add), or scores drift from the
+            # decoded/Python paths
+            ["cc", "-O2", "-ffp-contract=off", "-shared", "-fPIC",
+             "-o", tmp_so, c_path],
             check=True, capture_output=True)
         os.replace(tmp_so, so_path)
     ffi = cffi.FFI()
@@ -543,3 +907,65 @@ def run_topk(algo: str, lists, k: int, universe: int, blocks=None):
     else:
         return None
     return [(int(out_docs[i]), float(out_scores[i])) for i in range(cnt)]
+
+
+# --------------------------------------------------------------------------
+# compressed-posting serving (WAND directly over DINT payloads)
+# --------------------------------------------------------------------------
+
+def dict_c_arrays(d):
+    """Contiguous (lengths:int32, offsets:int32, table:uint32) views of a
+    PackedDict for the C decoder (kept alive by the caller)."""
+    lengths = np.ascontiguousarray(d.lengths, dtype=np.int32)
+    offs = np.ascontiguousarray(
+        (d.offsets.astype(np.int64) & 0xFFFFFF).astype(np.int32))
+    table = np.ascontiguousarray(d.table, dtype=np.uint32)
+    return lengths, offs, table
+
+
+class CompressedWand:
+    """Per-process handle: casts the dictionary / norm arrays once, then
+    serves wand_compressed_query calls over raw payload pointers.
+
+    Lists MUST be passed in ascending term order (term_idx = position,
+    used for the float32 contribution-accumulation order)."""
+
+    def __init__(self, docs_dict, freqs_dict, norms: np.ndarray) -> None:
+        ffi, lib = get_lib()
+        if lib is None:
+            raise RuntimeError("C kernels unavailable")
+        self.ffi, self.lib = ffi, lib
+        # keep the arrays alive for the lifetime of the handle
+        self._keep = [dict_c_arrays(docs_dict), dict_c_arrays(freqs_dict)]
+        (dl, do, dt), (fl, fo, ft) = self._keep
+        self.norms = np.ascontiguousarray(norms, dtype=np.float32)
+        c = ffi.cast
+        self._dict_args = (
+            c("int32_t *", dl.ctypes.data), c("int32_t *", do.ctypes.data),
+            c("uint32_t *", dt.ctypes.data),
+            c("int32_t *", fl.ctypes.data), c("int32_t *", fo.ctypes.data),
+            c("uint32_t *", ft.ctypes.data))
+        self._norms_c = c("float *", self.norms.ctypes.data)
+
+    def query(self, payload_ptrs: np.ndarray, qws: np.ndarray,
+              mws: np.ndarray, universe: int, k: int):
+        """[(rel_doc, score)] exact per-bucket top-k."""
+        ffi = self.ffi
+        out_docs, out_scores, out_docs_c, out_scores_c = _out_buffers(ffi, k)
+        cnt = self.lib.wand_compressed_query(
+            len(payload_ptrs), _as(ffi, "uint64_t *", payload_ptrs),
+            _as(ffi, "float *", qws), _as(ffi, "float *", mws),
+            *self._dict_args, self._norms_c, universe, k,
+            out_docs_c, out_scores_c)
+        return [(int(out_docs[i]), float(out_scores[i])) for i in range(cnt)]
+
+    def decode_list(self, payload: np.ndarray, n: int):
+        """(docs, freqs) full decode via the C path (conformance)."""
+        ffi = self.ffi
+        docs = np.empty(n, dtype=np.uint32)
+        freqs = np.empty(n, dtype=np.uint32)
+        got = self.lib.decode_list_compressed(
+            _as(ffi, "uint8_t *", payload), *self._dict_args,
+            _as(ffi, "uint32_t *", docs), _as(ffi, "uint32_t *", freqs))
+        assert got == n, f"decoded {got} != {n}"
+        return docs, freqs

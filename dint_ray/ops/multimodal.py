@@ -55,8 +55,13 @@ class MediaDecode:
 
     FEATURE_DIM = 8
 
-    def __init__(self, real_decoder: bool = False) -> None:
+    def __init__(self, real_decoder: bool = False,
+                 emit_words: bool = False) -> None:
         self.real_decoder = real_decoder
+        # emit_words adds the raw little-endian u32 digest words
+        # (w0..w7, int64) the float feature is derived from — a
+        # bijective view that a SQL oracle can recompute exactly
+        self.emit_words = emit_words
 
     def _decode_one(self, kind: str, payload: bytes) -> np.ndarray:
         if self.real_decoder:
@@ -72,17 +77,28 @@ class MediaDecode:
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
         feats = [self._decode_one(k, p) for k, p in zip(kinds, payloads)]
-        return pa.table({
+        cols = {
             "media_id": pa.array(ids.astype(np.int64), pa.int64()),
             "kind": pa.array(kinds, pa.string()),
             "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
             "feature": pa.array([f.tolist() for f in feats],
                                 pa.list_(pa.float32(), MediaDecode.FEATURE_DIM)),
-        })
+        }
+        if self.emit_words:
+            words = np.stack([
+                np.frombuffer(hashlib.sha256(p).digest()[:32], dtype="<u4")
+                for p in payloads]) if payloads else np.empty((0, 8), "<u4")
+            for i in range(MediaDecode.FEATURE_DIM):
+                cols[f"w{i}"] = pa.array(words[:, i].astype(np.int64),
+                                         pa.int64())
+        return pa.table(cols)
 
 
-def media_features_ds(media_ds, concurrency: int = 4):
+def media_features_ds(media_ds, concurrency: int = 4,
+                      emit_words: bool = False):
     """Small batches + actor pool: binary payloads are heavy per row."""
     return media_ds.map_batches(MediaDecode, batch_format="pyarrow",
+                                fn_constructor_kwargs={
+                                    "emit_words": emit_words},
                                 batch_size=64, concurrency=(1, concurrency),
                                 num_cpus=1)

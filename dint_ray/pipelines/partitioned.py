@@ -44,6 +44,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -192,9 +193,20 @@ class PartitionScorer:
     """Owns ONE doc bucket: decodes its segments once in __init__ into
     flat arrays + pre-scored float32 weights, then serves whole query
     batches.  Global collection stats (df per term, N, avg len) come
-    from the build artifacts, so scores equal the single-image path."""
+    from the build artifacts, so scores equal the single-image path.
 
-    def __init__(self, index_dir: str, serve_dir: str, bucket: int) -> None:
+    ``storage="compressed"`` keeps the bucket's DINT payloads as raw
+    bytes instead and runs WAND directly over them with lazy per-block
+    C decode (native.CompressedWand) — the reference's own query-time
+    model (dict_posting_list.hpp:88-343 never holds decoded lists).
+    Per-owner memory drops ~8x (compressed bytes vs 12 B/posting flat
+    arrays) and per-query DRAM traffic shrinks to the compressed bytes
+    of the blocks actually visited, which is what lets a fixed-memory
+    node own a 100-TB-scale bucket.  Results are bit-identical to the
+    decoded path (same float32 op order, -ffp-contract=off)."""
+
+    def __init__(self, index_dir: str, serve_dir: str, bucket: int,
+                 storage: str = "decoded") -> None:
         from dint_ray.index.build import load_codec_bundle
         from dint_ray.pipelines.serve import SharedScoredIndex
         from dint_ray.scoring import doc_term_weight
@@ -237,6 +249,47 @@ class PartitionScorer:
 
         files = sorted(glob.glob(
             os.path.join(serve_dir, f"bucket={bucket}", "*.parquet")))
+        self.storage = storage
+        self._profile: dict[int, int] = {}
+        self._busy = 0.0
+        self.df_global = df_global
+        if storage == "compressed":
+            if manifest["dict_kind"] != "single_packed":
+                raise ValueError(
+                    "compressed serving supports kind=single_packed")
+            from dint_ray import native as nat
+
+            mw = np.zeros(nterms, dtype=np.float32)
+            bufs: list[bytes] = []
+            slot_of: dict[int, int] = {}
+            lens = []
+            for path in files:
+                t = pq.read_table(path)
+                tids = t.column("term_id").to_numpy()
+                mws = t.column("max_weight").to_numpy()
+                pls = t.column("payload").to_pylist()
+                for tid, m, pl in zip(tids, mws, pls):
+                    slot_of[int(tid)] = len(bufs)
+                    mw[int(tid)] = m
+                    bufs.append(pl)
+                    lens.append(len(pl))
+            # one contiguous buffer (+8B guard for the C bit reader's
+            # whole-byte loads at a stream's very end)
+            self._payload_buf = np.frombuffer(
+                b"".join(bufs) + b"\x00" * 8, dtype=np.uint8)
+            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            base_addr = self._payload_buf.ctypes.data
+            ptr_by_slot = base_addr + offs[:-1]
+            self._ptr_of = {t: int(ptr_by_slot[s])
+                            for t, s in slot_of.items()}
+            self._local_mw = mw
+            self._universe = hi - self.base
+            bundle = load_codec_bundle(index_dir, "single_packed")
+            self._cw = nat.CompressedWand(bundle.docs_dict,
+                                          bundle.freqs_dict, n32)
+            self._qcache: dict[tuple, tuple] = {}
+            self.n32 = n32
+            return
         starts = np.full(nterms, -1, dtype=np.int64)
         ends = np.zeros(nterms, dtype=np.int64)
         mw = np.zeros(nterms, dtype=np.float32)
@@ -270,8 +323,6 @@ class PartitionScorer:
         self.index.df_global = df_global
         self.wand = _LocalWand(_OffsetNorms(self.base, n32),
                                _OffsetNorms(self.base, n64), mw)
-        self.df_global = df_global
-        self._profile: dict[int, int] = {}
 
     # ---- float32 production scoring ----
     def score_topk(self, qids, terms_list, algo: str, k: int):
@@ -292,6 +343,8 @@ class PartitionScorer:
         """(counts, docs, scores) flat numpy arrays — the serialization
         shape for the async scatter-gather path (tuple lists cost a
         pickle object per hit at 10^4 q/s)."""
+        if self.storage == "compressed":
+            return self._score_compressed_arrays(terms_list, algo, k)
         from dint_ray.queries import algorithms as qa
 
         fn = getattr(qa, algo)
@@ -311,13 +364,76 @@ class PartitionScorer:
         return (counts, np.asarray(docs_out, dtype=np.int64),
                 np.asarray(scores_out, dtype=np.float32))
 
+    def _score_compressed_arrays(self, terms_list, algo: str, k: int):
+        """WAND over raw DINT payloads (no decoded arrays anywhere).
+        Identical results to the decoded path: same cursor semantics,
+        same float32 weight op order in C, rel-docid tie-break equals
+        global (uniform +base shift within the bucket)."""
+        from dint_ray.queries.algorithms import query_freqs
+        from dint_ray.scoring import query_term_weight
+
+        if algo != "wand":
+            raise ValueError(
+                f"compressed owners serve algo='wand' (got {algo!r})")
+        nq = len(terms_list)
+        counts = np.empty(nq, dtype=np.int32)
+        docs_out: list = []
+        scores_out: list = []
+        cache = self._qcache
+        if len(cache) > 100_000:
+            cache.clear()
+        ptr_of = self._ptr_of
+        prof = self._profile
+        ptrs = np.empty(64, dtype=np.uint64)
+        qws = np.empty(64, dtype=np.float32)
+        mws = np.empty(64, dtype=np.float32)
+        base = self.base
+        for i, terms in enumerate(terms_list):
+            nl = 0
+            for term, qf in query_freqs(list(terms)):
+                hit = cache.get((term, qf))
+                if hit is None:
+                    ptr = ptr_of.get(term)
+                    if ptr is None:
+                        hit = cache[(term, qf)] = False
+                    else:
+                        qw = query_term_weight(
+                            qf, int(self.df_global[term]), self.num_docs,
+                            np.float32)
+                        hit = cache[(term, qf)] = (
+                            ptr, qw, np.float32(qw * self._local_mw[term]))
+                if hit is False or nl >= 64:
+                    continue
+                ptrs[nl], qws[nl], mws[nl] = hit
+                nl += 1
+                prof[term] = prof.get(term, 0) + 1
+            if nl == 0:
+                counts[i] = 0
+                continue
+            res = self._cw.query(ptrs[:nl], qws[:nl], mws[:nl],
+                                 self._universe, k)
+            counts[i] = len(res)
+            docs_out.extend(base + d for d, _ in res)
+            scores_out.extend(s for _, s in res)
+        return (counts, np.asarray(docs_out, dtype=np.int64),
+                np.asarray(scores_out, dtype=np.float32))
+
     def score_block(self, batch: pa.Table, algo: str, k: int):
         """Arrow-block entry: the driver ships ONE ray.put block ref per
         batch to all B owners (plasma-shared on the node); term-list
         extraction happens here, in parallel, not on the driver."""
+        t0 = time.perf_counter()
         qids = batch.column("query_id").to_numpy()
         terms_list = [list(v.as_py()) for v in batch.column("terms")]
-        return self.score_topk_arrays(qids, terms_list, algo, k)
+        out = self.score_topk_arrays(qids, terms_list, algo, k)
+        self._busy += time.perf_counter() - t0
+        return out
+
+    def busy_seconds(self) -> float:
+        """Accumulated in-call scoring time (utilization diagnostics:
+        busy / (owners x wall) tells owner- vs feed-bound)."""
+        b, self._busy = self._busy, 0.0
+        return b
 
     def score_quantized_block(self, batch: pa.Table, mode: str, k: int,
                               check_algo: str | None = None):
@@ -416,7 +532,8 @@ _ACTOR_CACHE: dict[tuple, list] = {}
 
 
 def partition_actors(index_dir: str, num_buckets: int,
-                     num_cpus_each: float = 0.25, num_replicas: int = 1):
+                     num_cpus_each: float = 0.25, num_replicas: int = 1,
+                     storage: str = "decoded"):
     """Create (or reuse) the P x R bucket-owner actors.
 
     Returns a list of R replica sets, each a list of P owners.  Bucket
@@ -433,7 +550,7 @@ def partition_actors(index_dir: str, num_buckets: int,
     concurrency, which provides the backpressure."""
     import ray
 
-    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas, storage)
     replicas = _ACTOR_CACHE.get(key)
     if replicas is None:
         # evict other configurations (their actors hold CPU
@@ -444,7 +561,7 @@ def partition_actors(index_dir: str, num_buckets: int,
                     ray.kill(a)
         serve_dir = build_serve_partitions(index_dir, num_buckets)
         cls = ray.remote(PartitionScorer).options(num_cpus=num_cpus_each)
-        replicas = [[cls.remote(index_dir, serve_dir, b)
+        replicas = [[cls.remote(index_dir, serve_dir, b, storage)
                      for b in range(num_buckets)]
                     for _ in range(num_replicas)]
         _ACTOR_CACHE[key] = replicas
@@ -452,10 +569,10 @@ def partition_actors(index_dir: str, num_buckets: int,
 
 
 def drop_actors(index_dir: str, num_buckets: int,
-                num_replicas: int = 1) -> None:
+                num_replicas: int = 1, storage: str = "decoded") -> None:
     import ray
 
-    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas, storage)
     for rs in _ACTOR_CACHE.pop(key, []):
         for a in rs:
             ray.kill(a)
@@ -535,7 +652,7 @@ def run_queries_routed(queries_ds, index_dir: str, algo: str = "wand",
                        k: int = 10, num_buckets: int = 8,
                        router_concurrency: int = 4, batch_size: int = 64,
                        quantized: bool = False, mode: str | None = None,
-                       num_replicas: int = 1):
+                       num_replicas: int = 1, storage: str = "decoded"):
     """queries Dataset -> (query_id, rank, doc_id, score[(_u)]) Dataset
     via the routed doc-partitioned path.
 
@@ -551,7 +668,7 @@ def run_queries_routed(queries_ds, index_dir: str, algo: str = "wand",
     import ray.data as rd
 
     replicas = partition_actors(index_dir, num_buckets,
-                                num_replicas=num_replicas)
+                                num_replicas=num_replicas, storage=storage)
     merge = _merge_remote()
     chk = algo if algo in ("wand", "maxscore", "block_max_wand") else None
     window = max(16, router_concurrency * 8)
@@ -581,20 +698,22 @@ def run_queries_routed(queries_ds, index_dir: str, algo: str = "wand",
 
 
 def reset_block_profile(index_dir: str, num_buckets: int,
-                        num_replicas: int = 1) -> None:
+                        num_replicas: int = 1,
+                        storage: str = "decoded") -> None:
     import ray
 
-    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas, storage)
     actors = [a for rs in _ACTOR_CACHE.get(key, []) for a in rs]
     ray.get([a.reset_profile.remote() for a in actors])
 
 
 def collect_block_profile(index_dir: str, num_buckets: int,
-                          num_replicas: int = 1) -> dict[int, int]:
+                          num_replicas: int = 1,
+                          storage: str = "decoded") -> dict[int, int]:
     """Merged per-term access counters from all bucket owners."""
     import ray
 
-    key = (os.path.abspath(index_dir), num_buckets, num_replicas)
+    key = (os.path.abspath(index_dir), num_buckets, num_replicas, storage)
     actors = [a for rs in _ACTOR_CACHE.get(key, []) for a in rs]
     merged: dict[int, int] = {}
     for prof in ray.get([a.block_profile.remote() for a in actors]):

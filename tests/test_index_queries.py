@@ -201,3 +201,48 @@ def test_native_kernels_match_python(corpus):
             assert got == want, f"{algo.__name__} diverges for {q}"
         checked += 1
     assert checked == len(queries)
+
+
+def test_compressed_c_decode_and_wand_match_python(corpus):
+    """The C compressed-cursor path (decode_list_compressed +
+    wand_compressed_query) must reproduce the Python decode and WAND
+    results bit-exactly — including edge list sizes around the 256-int
+    block boundary and the interpolative tail blocks."""
+    import pytest
+
+    from dint_ray import native as nat
+
+    if not nat.available():
+        pytest.skip("C kernels unavailable")
+    li, queries = corpus
+    num_docs = li.index.num_docs
+    cw = nat.CompressedWand(li.dicts.docs_dict, li.dicts.freqs_dict,
+                            li.wand.norms(np.float32))
+    payloads = {
+        t: np.frombuffer(li.index.payloads[t] + b"\x00" * 8, np.uint8)
+        for t in li.index.payloads}
+    for tid in li.index.payloads:
+        docs, freqs = li.index.decode(tid)
+        dd, ff = cw.decode_list(payloads[tid], len(docs))
+        assert np.array_equal(dd, docs.astype(np.uint32))
+        assert np.array_equal(ff, freqs.astype(np.uint32))
+    from dint_ray.scoring import query_term_weight
+
+    for terms in queries:
+        ref = qa.wand(li.index, li.wand, list(terms), 10)
+        ptrs, qws, mws = [], [], []
+        for term, qf in qa.query_freqs(list(terms)):
+            if term not in li.index:
+                continue
+            qw = query_term_weight(qf, li.index.size(term), num_docs,
+                                   np.float32)
+            ptrs.append(payloads[term].ctypes.data)
+            qws.append(qw)
+            mws.append(np.float32(qw * li.wand.max_term_weight[term]))
+        if not ptrs:
+            assert ref == []
+            continue
+        got = cw.query(np.array(ptrs, np.uint64),
+                       np.array(qws, np.float32),
+                       np.array(mws, np.float32), num_docs, 10)
+        assert got == [(int(d), float(s)) for d, s in ref]

@@ -99,3 +99,31 @@ def test_knn_cosine_exact():
         got = [r["vec_id"] for r in sorted(
             (r for r in out if r["query_id"] == q), key=lambda r: r["rank"])]
         assert got == want
+
+
+def test_media_decode_words_match_digest():
+    """emit_words exposes the raw LE u32 sha256 words the float
+    feature is derived from (the SQL-oracle view of media_features)."""
+    import hashlib
+
+    from dint_ray.ops.multimodal import (MediaDecode, media_features_ds,
+                                         synthesize_media_table)
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["hello world", "café ☕", ""], pa.string()),
+    })
+    media = synthesize_media_table(docs)
+    out = media_features_ds(rd.from_arrow(media), emit_words=True).take_all()
+    out.sort(key=lambda r: r["media_id"])
+    for r, text in zip(out, docs.column("text").to_pylist()):
+        digest = hashlib.sha256(text.encode()).digest()
+        want = np.frombuffer(digest[:32], dtype="<u4")
+        got = np.array([r[f"w{i}"] for i in range(8)], dtype=np.uint64)
+        assert np.array_equal(got, want.astype(np.uint64))
+        # float feature stays the bijective transform of the words
+        feat = np.asarray(r["feature"], dtype=np.float32)
+        assert np.array_equal(
+            feat, (want.astype(np.float32) / np.float32(2**32)))
+        assert r["n_bytes"] == len(text.encode())
+        assert r["kind"] == ("image", "audio", "video")[r["media_id"] % 3]

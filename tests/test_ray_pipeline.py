@@ -250,3 +250,29 @@ def test_routed_quantized_conformance(built):
         sub = got[got.query_id == qid].sort_values("rank")
         assert sub["doc_id"].tolist() == [d for d, _ in want], f"q{qid}"
         assert sub["score_u"].tolist() == [s for _, s in want], f"q{qid}"
+
+
+def test_routed_compressed_storage_identical(built):
+    """Compressed-storage owners (WAND with lazy per-block C decode
+    over raw DINT payloads, native.wand_compressed_query) must be
+    rank- AND score-identical to decoded-storage routed serving."""
+    from dint_ray import native as nat
+    from dint_ray.pipelines.partitioned import run_queries_routed
+
+    if not nat.available():
+        import pytest
+
+        pytest.skip("C kernels unavailable")
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    queries = generate_queries(40, vocab.size, seed=31)
+    ref = run_queries_routed(queries_to_dataset(queries), out_dir,
+                             algo="wand", k=10, num_buckets=3,
+                             storage="decoded").to_pandas()
+    got = run_queries_routed(queries_to_dataset(queries), out_dir,
+                             algo="wand", k=10, num_buckets=3,
+                             storage="compressed").to_pandas()
+    ref = ref.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  ref["score"].to_numpy())
