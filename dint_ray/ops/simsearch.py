@@ -50,6 +50,13 @@ def _query_matrix(emb_ds, query_ids: list[int]):
     return np.asarray(query_ids, dtype=np.int64), qm
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop parquet-borne pandas schema metadata: pyarrow Schemas with
+    it are unhashable (hash(schema) raises on the metadata dict), which
+    makes Ray Data's schema-deduplication log a warning per block."""
+    return batch.replace_schema_metadata(None)
+
+
 def _empty_partial() -> pa.Table:
     return pa.table({
         "query_id": pa.array([], pa.int64()),
@@ -131,10 +138,15 @@ def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
                 "sim": pa.array(out_s, pa.float64()),
             })
 
-    partial = emb_ds.map_batches(Scorer, batch_format="pyarrow",
-                                 batch_size=1024,
-                                 concurrency=(1, concurrency), num_cpus=1)
-    return (partial.repartition(num_partitions, keys=["query_id"], sort=False)
+    partial = (emb_ds.map_batches(_strip_meta, batch_format="pyarrow")
+               .map_batches(Scorer, batch_format="pyarrow",
+                            batch_size=1024,
+                            concurrency=(1, concurrency), num_cpus=1))
+    # each partition should own several queries, or hash gaps
+    # leave empty partitions whose schemaless blocks make the
+    # executor warn (cosmetic, but noisy)
+    nparts = min(num_partitions, max(1, len(query_ids) // 4))
+    return (partial.repartition(nparts, keys=["query_id"], sort=False)
             .map_batches(_final_topk_block, fn_kwargs={"k": k},
                          batch_format="pyarrow", batch_size=None, num_cpus=1))
 
@@ -205,14 +217,19 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                 "sim": pa.array(out_s, pa.float64()),
             })
 
-    partial = (emb_ds.map_batches(AddBucket, batch_format="pyarrow",
-                                  batch_size=1024,
-                                  concurrency=(1, concurrency), num_cpus=1)
+    partial = (emb_ds.map_batches(_strip_meta, batch_format="pyarrow")
+               .map_batches(AddBucket, batch_format="pyarrow",
+                            batch_size=1024,
+                            concurrency=(1, concurrency), num_cpus=1)
                .repartition(num_partitions, keys=["bucket"], sort=False)
                .map_batches(BucketScorer, batch_format="pyarrow",
                             batch_size=None,
                             concurrency=(1, concurrency), num_cpus=1))
-    return (partial.repartition(num_partitions, keys=["query_id"], sort=False)
+    # each partition should own several queries, or hash gaps
+    # leave empty partitions whose schemaless blocks make the
+    # executor warn (cosmetic, but noisy)
+    nparts = min(num_partitions, max(1, len(query_ids) // 4))
+    return (partial.repartition(nparts, keys=["query_id"], sort=False)
             .map_batches(_final_topk_block, fn_kwargs={"k": k},
                          batch_format="pyarrow", batch_size=None, num_cpus=1))
 
