@@ -90,10 +90,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         _ShardFps, fn_constructor_kwargs={"index_dir": out_dir},
         batch_format="pyarrow", batch_size=None,
         concurrency=(1, num_cpus), num_cpus=1)
-    decoded = sum(r["n"] for r in fps.take_all())
+    rows = fps.take_all()
+    decoded = sum(r["n"] for r in rows)
+    decode_ns = sum(r["decode_ns"] for r in rows)
     times["decode_all"] = time.time() - t0
+    # wall includes parquet read + fingerprints + scheduling; the
+    # decode-only rate mirrors the reference harness, which times the
+    # decode loop alone (vroom_env/decode.cpp:74-92)
     extra["decode_mints_per_sec"] = round(
         2 * decoded / times["decode_all"] / 1e6, 2)
+    extra["decode_mints_per_sec_kernel"] = round(
+        2 * decoded / max(decode_ns, 1) * 1e3, 1)
+    extra["decode_ns_per_int"] = round(decode_ns / max(2 * decoded, 1), 2)
 
     # --- 2. BM25 serving -------------------------------------------------
     # Headline: vectorized exact scorer (rank-identical to WAND /
@@ -197,8 +205,14 @@ def run_scaling_inner(cpus: int) -> dict:
     """One parallelism level: fresh build + warmed serving throughput."""
     import time as _t
 
+    import pyarrow as _pa
     import ray
 
+    # pyarrow's internal thread pool ignores Ray's num_cpus; pin it so
+    # driver-side arrow kernels (stats group_by etc.) scale with the
+    # leg's CPU budget instead of silently using the whole machine
+    _pa.set_cpu_count(cpus)
+    _pa.set_io_thread_count(max(2, cpus // 2))
     ray.init(address="local", num_cpus=cpus, include_dashboard=False)
     from dint_ray.fixtures import generate_queries
     from dint_ray.pipelines.build import build_index_ray

@@ -203,8 +203,27 @@ def select_hash_winners(sizes: np.ndarray, hashes: np.ndarray,
         / max(total_integers, 1)
     keep = (saving > cfg.dsf_filter_threshold) | (sizes == 1)
     s2, h2, f2 = sizes[keep], hashes[keep], freqs[keep]
+    K = cfg.num_entries - RESERVED
+    # top-K by (freq desc, size desc, hash asc).  A full 3-key lexsort
+    # of the candidate table costs ~8 s per 4M rows on the DRIVER (the
+    # build's worst serial chunk); an O(n) partition on the composite
+    # (freq << 5 | size) key plus a sort of only the boundary tie-group
+    # selects the identical set, then the final K rows get the exact
+    # deterministic order.
+    if len(f2) > K and int(f2.max(initial=0)) < (1 << 59):
+        key = (f2.astype(np.uint64) << np.uint64(5)) | s2.astype(np.uint64)
+        kth = np.partition(key, len(key) - K)[len(key) - K]
+        above = np.flatnonzero(key > kth)
+        slots = K - len(above)
+        eq_idx = np.flatnonzero(key == kth)
+        eq_pick = eq_idx[np.argsort(h2[eq_idx], kind="stable")[:slots]]
+        sel = np.concatenate([above, eq_pick])
+        order = np.lexsort((h2[sel], -s2[sel].astype(np.int64),
+                            -f2[sel].astype(np.int64)))
+        sel = sel[order]
+        return s2[sel], h2[sel], f2[sel]
     order = np.lexsort((h2, -s2.astype(np.int64), -f2.astype(np.int64)))
-    top = order[: cfg.num_entries - RESERVED]
+    top = order[:K]
     return s2[top], h2[top], f2[top]
 
 

@@ -184,15 +184,20 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
     tot_pd = tot_tab.to_pandas().groupby("stream")["total_ints"].sum()
     totals = {int(k): int(v) for k, v in tot_pd.items()}
 
-    if nrows <= 2_000_000:
-        # pandas C-path groupby on the driver: below this size a Ray
-        # exchange is all fixed cost
+    if nrows <= 50_000_000:
+        # one multithreaded pyarrow group_by on the driver: measured
+        # 3.5 s for 11.3M rows where the hash-shuffle exchange took
+        # 14.7 s at 24 CPUs (and the old pandas groupby 44 s) — below
+        # ~50M rows the exchange is pure overhead.  Beyond that the
+        # distributed branch below takes over (hash cardinality, and
+        # therefore partial-row count, grows with corpus size).
         pt = pa.concat_tables(
             [t for t in ray.get(partial.to_arrow_refs())
              if t is not None and t.num_rows], promote_options="default")
-        agg = (pt.to_pandas()
-               .groupby(["stream", "ctx", "size", "hash"], sort=False,
-                        as_index=False)["freq"].sum())
+        agg = (pt.group_by(["stream", "ctx", "size", "hash"])
+               .aggregate([("freq", "sum")])
+               .rename_columns(["stream", "ctx", "size", "hash", "freq"])
+               .to_pandas())
     else:
         # distributed: hash-partition by hash value (all 4 group keys
         # are functions of rows sharing a hash), pyarrow group_by + a

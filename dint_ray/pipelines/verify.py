@@ -40,29 +40,63 @@ def _postings_fps(batch: pa.Table) -> pa.Table:
 
 
 class _ShardFps:
+    """Decode + fingerprint each shard payload.
+
+    Uses the C whole-list decoder (native.decode_list_compressed) for
+    the single_packed kind when available — the decode-throughput
+    numbers in BENCH are then comparable to the reference's native
+    decode harness (vroom_env/decode.cpp:74-92) — and falls back to
+    the Python PostingListView path for every other kind."""
+
     def __init__(self, index_dir: str) -> None:
         from dint_ray.index.build import load_codec_bundle
 
         with open(os.path.join(index_dir, "manifest.json")) as f:
             kind = json.load(f)["dict_kind"]
-        self.docs_codec, self.freqs_codec = \
-            load_codec_bundle(index_dir, kind).codecs()
+        bundle = load_codec_bundle(index_dir, kind)
+        self.docs_codec, self.freqs_codec = bundle.codecs()
+        self._cw = None
+        if kind == "single_packed":
+            try:
+                from dint_ray import native as nat
+
+                if nat.available():
+                    self._cw = nat.CompressedWand(
+                        bundle.docs_dict, bundle.freqs_dict,
+                        np.empty(0, np.float32))
+            except Exception:
+                self._cw = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from dint_ray.index.layout import PostingListView
 
+        import time
+
         tids = batch.column("term_id").to_numpy()
         payloads = batch.column("payload").to_pylist()
-        fps, ns = [], []
-        for pl in payloads:
-            v = PostingListView(pl, self.docs_codec, self.freqs_codec)
-            docs, freqs = v.decode_all()
+        dfs = (batch.column("df").to_numpy()
+               if "df" in batch.column_names else None)
+        fps, ns, dns = [], [], []
+        for i, pl in enumerate(payloads):
+            if self._cw is not None and dfs is not None:
+                buf = np.frombuffer(pl + b"\x00" * 8, dtype=np.uint8)
+                t0 = time.perf_counter_ns()
+                docs, freqs = self._cw.decode_list(buf, int(dfs[i]))
+                dns.append(time.perf_counter_ns() - t0)
+            else:
+                t0 = time.perf_counter_ns()
+                v = PostingListView(pl, self.docs_codec, self.freqs_codec)
+                docs, freqs = v.decode_all()
+                dns.append(time.perf_counter_ns() - t0)
             fps.append(_fp(docs, freqs))
             ns.append(len(docs))
         return pa.table({
             "term_id": pa.array(tids.astype(np.uint32), pa.uint32()),
             "fp": pa.array(fps, pa.int64()),
             "n": pa.array(ns, pa.int64()),
+            # pure decode time per list (the reference's decode bench
+            # times the decode loop only, vroom_env/decode.cpp:74-92)
+            "decode_ns": pa.array(dns, pa.int64()),
         })
 
 
