@@ -144,6 +144,44 @@ def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
     return BuiltDicts(kind=kind, docs_dict=docs_dict, freqs_dict=freqs_dict)
 
 
+def dicts_from_blocks_collections(docs_path: str, freqs_path: str,
+                                  kind: str = "single_packed",
+                                  cfg: DintConfig = DintConfig()) -> BuiltDicts:
+    """Build dictionaries from precomputed ds2i binary_blocks_collection
+    stats files (SURVEY.md S3) — the input the reference's
+    dictionary_builders.hpp consumes instead of rescanning the corpus.
+
+    total_integers isn't stored in the format; every window size tiles
+    the whole stream, so the per-size freq×len sums each approximate it
+    — we take their max (exact when size-1 blocks are present, since
+    every integer is its own size-1 window)."""
+    from dint_ray.sources.ds2i import read_blocks_collection
+
+    if kind not in ("single_packed", "single_rect"):
+        raise ValueError(
+            "blocks collections carry no selector contexts; "
+            "only single-dictionary kinds can be mined from them")
+    from dint_ray.dint.dictionary import build_rect_single
+
+    build_one = (build_rect_single if kind == "single_rect"
+                 else build_packed_single)
+
+    def one(path: str):
+        blocks = read_blocks_collection(path)
+        counts: dict[bytes, int] = {}
+        per_size: dict[int, int] = {}
+        for freq, vals in blocks:
+            pat = np.asarray(vals, "<u4").tobytes()
+            counts[pat] = counts.get(pat, 0) + int(freq)
+            per_size[len(vals)] = per_size.get(len(vals), 0) \
+                + int(freq) * len(vals)
+        total = max(per_size.values(), default=0)
+        return build_one(st.select_targets(counts, total, cfg), cfg)
+
+    return BuiltDicts(kind=kind, docs_dict=one(docs_path),
+                      freqs_dict=one(freqs_path))
+
+
 @dataclass
 class LocalIndex:
     index: InvertedIndex

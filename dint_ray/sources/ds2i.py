@@ -105,3 +105,53 @@ def postings_to_table(postings) -> pa.Table:
         "freqs": pa.array([postings[t][1].tolist() for t in tids],
                           pa.list_(pa.uint32())),
     })
+
+
+def read_blocks_collection(path: str) -> list[tuple[int, np.ndarray]]:
+    """binary_blocks_collection (SURVEY.md S3): precomputed block
+    statistics as flat little-endian uint32 words — a [num_blocks]
+    header word, then per block ``[n][freq][v0..v_{n-1}]`` where n is
+    the value count (freq excluded); zero-length n words are skipped
+    (binary_blocks_collection.hpp:27-31,121-137).  Returns
+    [(freq, values)] in file order."""
+    raw = np.fromfile(path, dtype="<u4")
+    if len(raw) == 0 or raw[0] == 0:
+        raise ValueError(f"{path}: number of blocks must not be 0")
+    num_blocks = int(raw[0])
+    out: list[tuple[int, np.ndarray]] = []
+    i = 1
+    while i < len(raw):
+        n = int(raw[i]); i += 1
+        if n == 0:          # skip empty seqs, as the reference iterator does
+            continue
+        # file might be truncated (hpp:129)
+        n = min(n, len(raw) - i - 1)
+        out.append((int(raw[i]), raw[i + 1 : i + 1 + n].copy()))
+        i += 1 + n
+    if len(out) != num_blocks:
+        raise ValueError(
+            f"{path}: header says {num_blocks} blocks, parsed {len(out)}")
+    return out
+
+
+def write_blocks_collection(path: str, blocks) -> None:
+    """Inverse of :func:`read_blocks_collection`; ``blocks`` is an
+    iterable of (freq, values)."""
+    parts = [np.asarray([len(blocks)], dtype="<u4")]
+    for freq, vals in blocks:
+        vals = np.asarray(vals, dtype="<u4")
+        parts.append(np.asarray([len(vals), freq], dtype="<u4"))
+        parts.append(vals)
+    np.concatenate(parts).tofile(path)
+
+
+def blocks_to_table(blocks) -> pa.Table:
+    """Block statistics -> the engine's hash-keyed stats shape
+    (size, freq, values), mirroring how dictionary_builders.hpp
+    consumes a blocks collection as (pattern, frequency) pairs."""
+    return pa.table({
+        "size": pa.array([len(v) for _, v in blocks], pa.uint32()),
+        "freq": pa.array([f for f, _ in blocks], pa.uint64()),
+        "values": pa.array([np.asarray(v, np.uint32).tolist()
+                            for _, v in blocks], pa.list_(pa.uint32())),
+    })
