@@ -260,6 +260,68 @@ FROM h
                f" * {256 ** j}" for j in range(4)) + f" AS w{i}"
     for i in range(8)))
 
+# Real-decode oracles: the media payloads are genuine PNG/WAV/DVID
+# bytes synthesized from closed-form integer formulas
+# (ops/multimodal.py), so DuckDB recomputes the DECODED statistics
+# exactly with generate_series — verifying the whole encode->decode
+# pipeline, not a hash of the bytes.
+SQL_IMAGE_DECODE = """
+SELECT d.doc_id::BIGINT AS media_id,
+       (24 + d.doc_id % 9)::BIGINT AS width,
+       (16 + d.doc_id % 7)::BIGINT AS height,
+       SUM((x.x*(3+c.c) + y.y*(5+2*c.c) + d.doc_id*(7+11*c.c)) % 256
+           )::BIGINT AS pix_sum
+FROM documents d,
+     generate_series(0, 31) x(x),
+     generate_series(0, 21) y(y),
+     generate_series(0, 2) c(c)
+WHERE d.doc_id % 3 = 0
+  AND x.x < 24 + d.doc_id % 9 AND y.y < 16 + d.doc_id % 7
+GROUP BY 1, 2, 3
+"""
+
+SQL_AUDIO_DECODE = """
+SELECT d.doc_id::BIGINT AS media_id,
+       (1024 + d.doc_id % 512)::BIGINT AS n_samples,
+       SUM(ABS(((i.i*((d.doc_id % 31)+3) + d.doc_id) % 509) - 254)
+           )::BIGINT AS abs_sum,
+       SUM(CASE WHEN i.i > 0 AND
+             ((((i.i*((d.doc_id % 31)+3) + d.doc_id) % 509) - 254 >= 0) !=
+              ((((i.i-1)*((d.doc_id % 31)+3) + d.doc_id) % 509) - 254 >= 0))
+           THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+FROM documents d, generate_series(0, 1535) i(i)
+WHERE d.doc_id % 3 = 1 AND i.i < 1024 + d.doc_id % 512
+GROUP BY 1, 2
+"""
+
+SQL_VIDEO_DECODE = """
+WITH v AS (
+  SELECT doc_id::BIGINT AS media_id, (3 + doc_id % 4)::BIGINT AS nf,
+         (24 + doc_id % 9)::BIGINT AS w, (16 + doc_id % 7)::BIGINT AS h
+  FROM documents WHERE doc_id % 3 = 2
+),
+s AS (
+  SELECT media_id, nf, w, h,
+         unnest(list_distinct([0, nf // 2, nf - 1])) AS f
+  FROM v
+),
+px AS (
+  SELECT s.media_id, s.nf, s.f,
+         SUM((x.x*(3+c.c) + y.y*(5+2*c.c)
+              + (s.media_id*1000 + s.f)*(7+11*c.c)) % 256) AS fsum
+  FROM s,
+       generate_series(0, 31) x(x),
+       generate_series(0, 21) y(y),
+       generate_series(0, 2) c(c)
+  WHERE x.x < s.w AND y.y < s.h
+  GROUP BY s.media_id, s.nf, s.f
+)
+SELECT media_id, nf AS n_frames, COUNT(*)::BIGINT AS n_sampled,
+       SUM(fsum)::BIGINT AS pix_sum
+FROM px
+GROUP BY media_id, nf
+"""
+
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl FROM documents
@@ -968,6 +1030,43 @@ def q_media_features(sf_dir: str):
                               [f"w{i}" for i in range(8)])
 
 
+def _real_media_ds(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dint_ray.ops.multimodal import synthesize_real_media
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return rd.from_arrow(synthesize_real_media(docs))
+
+
+def q_image_decode(sf_dir: str):
+    """REAL image decode: per-doc PNG payloads (zlib, per-row filters,
+    CRC-checked chunks — ops/media_codecs.py) decoded in an actor pool;
+    integer pixel stats recomputed in closed form by the oracle."""
+    from dint_ray.ops.multimodal import decode_features_ds
+
+    return decode_features_ds(_real_media_ds(sf_dir), "image")
+
+
+def q_audio_decode(sf_dir: str):
+    """REAL audio decode: RIFF/PCM16 WAV payloads parsed to samples;
+    abs-sum + zero-crossing stats oracle-recomputed."""
+    from dint_ray.ops.multimodal import decode_features_ds
+
+    return decode_features_ds(_real_media_ds(sf_dir), "audio")
+
+
+def q_video_decode(sf_dir: str):
+    """REAL video frame-sampling: DVID containers (length-prefixed PNG
+    frames), decode ONLY first/middle/last frames via the length
+    directory; sampled-pixel sums oracle-recomputed."""
+    from dint_ray.ops.multimodal import decode_features_ds
+
+    return decode_features_ds(_real_media_ds(sf_dir), "video")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1039,6 +1138,9 @@ def registry():
         "knn_lsh": (q_lsh_knn, None),
         "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
         "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+        "image_decode": (q_image_decode, SQL_IMAGE_DECODE),
+        "audio_decode": (q_audio_decode, SQL_AUDIO_DECODE),
+        "video_decode": (q_video_decode, SQL_VIDEO_DECODE),
         "knn_lsh_recall": (q_lsh_recall, None),
     }
 
