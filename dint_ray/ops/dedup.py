@@ -87,17 +87,27 @@ def _mh_params(num_hashes: int, seed: int = 1234):
     return _MH_A, _MH_B
 
 
-def _shingle_digests(text: str, k: int):
-    """(sid60, sid32) uint64 arrays over the DISTINCT shingle set."""
+def _md5_u64(shingles) -> np.ndarray:
+    """First 8 md5 bytes of each shingle as big-endian uint64 — one
+    frombuffer for the whole set instead of hexdigest + int(hex, 16)
+    per shingle.  int(hexdigest[:15], 16) == u64 >> 4 and
+    int(hexdigest[:8], 16) == u64 >> 32 (verified bit-identical), so
+    the DuckDB md5 oracles keep matching."""
     import hashlib
 
+    buf = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in shingles)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
+def _shingle_digests(text: str, k: int):
+    """(sid60, sid32) uint64 arrays over the DISTINCT shingle set."""
     sh = _shingles(text.lower(), k)
     if not sh:
         e = np.empty(0, dtype=np.uint64)
         return e, e
-    hx = [hashlib.md5(s.encode()).hexdigest() for s in sh]
-    s60 = np.unique(np.asarray([int(h[:15], 16) for h in hx], dtype=np.uint64))
-    s32 = np.asarray(sorted({int(h[:8], 16) for h in hx}), dtype=np.uint64)
+    u = _md5_u64(sh)
+    s60 = np.unique(u >> np.uint64(4))
+    s32 = np.unique(u >> np.uint64(32))
     return s60, s32
 
 
