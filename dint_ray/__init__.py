@@ -28,24 +28,23 @@ def _configure_ray_data() -> None:
     Datasets snapshot the context at creation, so this must run at
     import, before any pipeline builds a Dataset."""
     try:
-        import os
-
         import ray.data as rd
         from ray.data.context import ShuffleStrategy
 
         ctx = rd.DataContext.get_current()
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        # Defaults assume a big cluster (200 partitions, 64 aggregator
-        # actors, whole-CPU reservations) and deadlock small sessions
-        # where map actor pools already hold every CPU.  Scale the
-        # exchange to the machine and make aggregators fractional.
-        ncpu = max(4, min(64, os.cpu_count() or 8))
-        ctx.default_hash_shuffle_parallelism = ncpu
-        ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
-        # conservative reservations so shuffle/aggregator actors can
-        # coexist with map actor pools on tiny sessions; pipelines call
-        # tune_for_cluster() at entry to rescale once the real CPU
-        # count is known
+        # Import-time defaults must be safe for ANY session size — at
+        # import the ray session (and its CPU count) doesn't exist yet,
+        # and os.cpu_count() lies about it (a 4-CPU ray.init on a
+        # 32-core host).  A pipeline with two concurrent wide ops
+        # reserves 2 pools x max_aggregators x (parallelism /
+        # max_aggregators x frac) CPUs *before* any map task runs; if
+        # that exceeds the session, the job deadlocks against itself.
+        # So: tiny fixed reservations here, and every public
+        # Dataset-building entry point calls ensure_tuned() to rescale
+        # once the live cluster is known.
+        ctx.default_hash_shuffle_parallelism = 8
+        ctx.max_hash_shuffle_aggregators = 2
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
     except Exception:  # pragma: no cover - ray absent or API drift
@@ -74,6 +73,32 @@ def tune_for_cluster() -> None:
         frac = 0.05 if ncpu <= 8 else 0.25
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = frac
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = frac
+    except Exception:  # pragma: no cover - ray absent or API drift
+        pass
+
+
+_TUNED_SESSION: list[str] = []
+
+
+def ensure_tuned() -> None:
+    """Idempotent per-ray-session tune_for_cluster().
+
+    Called by every public Dataset-building entry point (ops, build,
+    serve) so exchange sizing always reflects the LIVE session's CPU
+    count rather than the import-time host core count.  Re-runs when a
+    new ray session replaces the old one (fresh ray.init after
+    shutdown); no-ops when ray isn't initialized yet."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return
+        sid = ray.get_runtime_context().get_job_id()
+        key = f"{id(ray.worker)}:{sid}"
+        if _TUNED_SESSION and _TUNED_SESSION[0] == key:
+            return
+        tune_for_cluster()
+        _TUNED_SESSION[:] = [key]
     except Exception:  # pragma: no cover - ray absent or API drift
         pass
 

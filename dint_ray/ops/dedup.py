@@ -49,6 +49,8 @@ def exact_dedup_ds(docs_ds):
     as one native groupby((text_hash, text)).min(doc_id) shuffle (no
     per-group Python; the hash key keeps the sort cheap, the text key
     resolves crc32 collisions exactly)."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     from ray.data.aggregate import Min
 
     hashed = docs_ds.map_batches(add_text_hash, batch_format="pyarrow")
@@ -198,6 +200,8 @@ def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
 def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
                           concurrency: int = 8):
     """LSH candidate pairs (may include false positives; verify after)."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     exploded = docs_ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_hashes": num_hashes,
@@ -264,6 +268,8 @@ def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
 
     Deterministic and SQL-reproducible end to end: md5-prefix shingle
     ids, exact (a*x+b) mod 2^31-1 minhash, exact band-tuple keys."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     from ray.data.aggregate import Count
 
     cands = minhash_candidates_ds(docs_ds, num_hashes, shingle_k, bands,
@@ -459,6 +465,8 @@ def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
     """Near-dup pairs by SimHash: bucket on each of ``max_hamming+1``
     bit-bands (any pair within Hamming<=max_hamming shares at least one
     band), verify distance."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     sigs = docs_ds.map_batches(SimHasher, batch_format="pyarrow",
                                batch_size=1024, concurrency=(1, concurrency),
                                num_cpus=1)
@@ -530,6 +538,8 @@ def embedding_dup_pairs_ds(emb_ds, threshold: float = 0.95,
     tasks but O(block) memory anywhere; nothing materializes on the
     driver.  The LSH variant in simsearch.py is the sub-quadratic
     path when exactness can be traded."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     import ray
     import ray.data as rd
 
@@ -647,6 +657,8 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
     verify (no driver state).  Exact but quadratic in co-occurring
     docs per shingle -- the scale path is minhash_dedup_pairs_ds; this
     is the oracle-checkable baseline (SURVEY.md training-data ops)."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     from ray.data.aggregate import Count
 
     shingles = docs_ds.map_batches(

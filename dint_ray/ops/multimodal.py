@@ -116,6 +116,8 @@ class MediaDecode:
 def media_features_ds(media_ds, concurrency: int = 4,
                       emit_words: bool = False):
     """Small batches + actor pool: binary payloads are heavy per row."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     return media_ds.map_batches(MediaDecode, batch_format="pyarrow",
                                 fn_constructor_kwargs={
                                     "emit_words": emit_words},
@@ -265,6 +267,8 @@ def decode_features_ds(media_ds, kind: str, concurrency: int = 4):
     """Real-decode one kind with an actor pool (the kind filter runs
     inside the stage — one pass, stable output schema; small batches:
     payloads are the heavy column)."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     return media_ds.map_batches(
         DecodeFeatures, batch_format="pyarrow",
         fn_constructor_kwargs={"kind": kind},

@@ -103,6 +103,8 @@ def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
     Tie-break: (similarity desc, vec_id asc), computed in float64 on
     both sides.
     """
+    import dint_ray
+    dint_ray.ensure_tuned()
     import ray
 
     qids, qm = _query_matrix(emb_ds, query_ids)
@@ -158,6 +160,8 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
     hyperplane buckets and hash-repartitioned by bucket; each partition
     scores ONLY the queries whose bucket it holds.  Approximate
     (recall < 1); measured by ``lsh_recall``."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     import ray
 
     qids, qm = _query_matrix(emb_ds, query_ids)

@@ -66,6 +66,8 @@ def build_serve_partitions(index_dir: str, num_buckets: int,
     Reads the grouped-postings checkpoint (term_id, docs, freqs) the
     build already wrote, so this is one distributed map over lists —
     no extra shuffle (lists are split columnar-wise per batch)."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     import ray
     import ray.data as rd
 
@@ -664,6 +666,8 @@ def run_queries_routed(queries_ds, index_dir: str, algo: str = "wand",
     a bounded in-flight window provides backpressure.  The result is a
     Dataset over the merge outputs — only refs ever live on the
     driver."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     import ray
     import ray.data as rd
 

@@ -315,6 +315,8 @@ def run_queries_ray(queries_ds, index_dir: str, algo: str = "wand",
     single shared-image path (driver decodes once, ships via ray.put) —
     right when the whole index fits one worker's memory and lowest
     latency is wanted at test scale."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     if not broadcast and algo in ("wand", "maxscore", "block_max_wand",
                                   "ranked_or", "ranked_and"):
         from dint_ray.pipelines.partitioned import run_queries_routed

@@ -156,6 +156,8 @@ def transform_index_mixed(index_dir: str, out_dir: str,
     allowed expansion over the space-optimal mixed encoding; larger
     ratios buy faster predicted decode.
     """
+    import dint_ray
+    dint_ray.ensure_tuned()
     import ray
     import ray.data as rd
 

@@ -103,6 +103,8 @@ class _ShardFps:
 def verify_index_ray(index_dir: str) -> dict:
     """Compare decoded shards vs the postings checkpoint; returns
     {"ok": bool, "terms": N, "mismatched": [...], "missing": [...]}."""
+    import dint_ray
+    dint_ray.ensure_tuned()
     import ray
     import ray.data as rd
 

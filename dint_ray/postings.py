@@ -81,6 +81,9 @@ def _coalesce(ds, width: int | None = None):
 
 def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = False):
     """pages Dataset -> (doc_id, term, tf) rows Dataset (actor pool)."""
+    import dint_ray
+
+    dint_ray.ensure_tuned()
     return pages_ds.map_batches(
         Tokenizer,
         fn_constructor_kwargs={"from_html": from_html},
@@ -159,17 +162,22 @@ class AssignTermId:
         vocab: Vocabulary = ray.get(vocab_ref)
         self.id_map = vocab.to_id_map()
         dfs = vocab.df_array()
-        self.salted = {tid for tid, df in zip(vocab.terms["term_id"], dfs)
-                       if df > salt_df_threshold}
+        self.salted_arr = np.asarray(
+            [tid for tid, df in zip(vocab.terms["term_id"], dfs)
+             if df > salt_df_threshold], dtype=np.uint32)
         self.bucket_docs = salt_bucket_docs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_pylist()
-        tids = np.fromiter((self.id_map[t] for t in terms), dtype=np.uint32,
-                           count=len(terms))
+        # Zipf head: a batch has far fewer unique terms than rows, so
+        # dictionary-encode once and look up only the uniques in Python.
+        enc = batch.column("term").combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        uniq_ids = np.fromiter((self.id_map[t] for t in uniq),
+                               dtype=np.uint32, count=len(uniq))
+        tids = uniq_ids[enc.indices.to_numpy(zero_copy_only=False)]
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        if self.salted:
-            salt_mask = np.isin(tids, np.fromiter(self.salted, dtype=np.uint32))
+        if len(self.salted_arr):
+            salt_mask = np.isin(tids, self.salted_arr)
             buckets = np.where(salt_mask, doc_ids // self.bucket_docs, 0).astype(np.uint32)
         else:
             buckets = np.zeros(len(tids), dtype=np.uint32)
@@ -222,21 +230,23 @@ def _runs_from_block(batch: pa.Table) -> pa.Table:
 def _merge_runs_block(batch: pa.Table) -> pa.Table:
     """One hash partition of run rows -> final posting-list rows: flatten
     all runs, lexsort (term, doc), slice terms via offsets (§2.8 O4)."""
-    from dint_ray.util import list_views
-
     term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    docs_views = list_views(batch.column("docs"))
-    freqs_views = list_views(batch.column("freqs"))
-    lens = np.asarray([len(v) for v in docs_views], dtype=np.int64)
-    if not len(term) or lens.sum() == 0:
+    docs_col = batch.column("docs").combine_chunks()
+    freqs_col = batch.column("freqs").combine_chunks()
+    doc_offsets = docs_col.offsets.to_numpy()
+    lens = np.diff(doc_offsets)
+    if not len(term) or int(lens.sum()) == 0:
         return pa.table({
             "term_id": pa.array([], pa.uint32()),
             "docs": pa.array([], pa.list_(pa.uint32())),
             "freqs": pa.array([], pa.list_(pa.uint32())),
         })
     term_flat = np.repeat(term, lens)
-    docs_flat = np.concatenate(docs_views).astype(np.int64)
-    freqs_flat = np.concatenate(freqs_views).astype(np.int64)
+    docs_flat = docs_col.values.to_numpy(zero_copy_only=False)[
+        doc_offsets[0]:doc_offsets[-1]].astype(np.int64)
+    f_off = freqs_col.offsets.to_numpy()
+    freqs_flat = freqs_col.values.to_numpy(zero_copy_only=False)[
+        f_off[0]:f_off[-1]].astype(np.int64)
     return _lists_by_key([term_flat, docs_flat],
                          {"docs": docs_flat, "freqs": freqs_flat},
                          {"term_id": term_flat})
@@ -248,7 +258,10 @@ def _use_hash_shuffle() -> None:
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
+    import dint_ray
+
     rd.DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    dint_ray.ensure_tuned()
 
 
 def build_posting_lists(rows_ds, vocab: Vocabulary,
