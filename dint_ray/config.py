@@ -48,6 +48,11 @@ class BuildConfig:
     # Low threshold on purpose so fixtures exercise the salted path.
     salt_df_threshold: int = 4096
     salt_bucket_docs: int = 4096
+    # merge strategy: "single" (one exchange; default when head lists
+    # fit one task), "salted" (two-phase bucketed runs), or "auto"
+    # (salted iff max df > chunk_df_threshold)
+    merge_strategy: str = "auto"
+    chunk_df_threshold: int = 4_000_000
     # actor pools; concurrency 0 = size to the cluster (one per CPU)
     encode_batch_size: int = 64
     encode_concurrency: int = 0

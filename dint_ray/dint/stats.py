@@ -133,40 +133,56 @@ def aligned_hashes(buf: np.ndarray, s: int) -> np.ndarray:
     return _finalize(h, s)
 
 
+def _concat_aligned(buffers, s: int) -> np.ndarray:
+    """Concatenate each buffer's aligned prefix (len//s*s).  Every
+    piece's length is a multiple of s, so window alignment within each
+    buffer is preserved in the flat array — one vectorized hash pass
+    replaces one pass per buffer (the per-list numpy-call overhead was
+    the resolve stage's entire cost at 24 CPUs)."""
+    pieces = [b[: len(b) // s * s] for b in buffers if len(b) >= s]
+    if not pieces:
+        return np.empty(0, dtype=np.uint32)
+    return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
+
+
+def _all_blocks(buffers) -> np.ndarray:
+    """All complete 256-blocks of all buffers as one (n, 256) matrix."""
+    pieces = [b[: (len(b) // BLOCK_SIZE) * BLOCK_SIZE]
+              for b in buffers if len(b) >= BLOCK_SIZE]
+    if not pieces:
+        return np.empty((0, BLOCK_SIZE), dtype=np.uint32)
+    return np.concatenate(pieces).reshape(-1, BLOCK_SIZE)
+
+
 def hash_counts_single(buffers):
     """-> (sizes u8, hashes u64, freqs u64, total_integers)."""
-    total = 0
-    per_size: dict[int, list] = {s: [] for s in TARGET_SIZES}
-    for buf in buffers:
-        if not len(buf):
-            continue
-        total += len(buf)
-        for s in TARGET_SIZES:
-            h = aligned_hashes(buf, s)
-            if len(h):
-                per_size[s].append(h)
-    return (*_unique_per_key({(0, s): v for s, v in per_size.items()})[1:], total)
+    total = sum(len(b) for b in buffers)
+    acc: dict[tuple[int, int], list] = {}
+    for s in TARGET_SIZES:
+        h = aligned_hashes(_concat_aligned(buffers, s), s)
+        if len(h):
+            acc[(0, s)] = [h]
+    return (*_unique_per_key(acc)[1:], total)
 
 
 def hash_counts_multi(buffers, num_selectors: int = 6):
-    """-> (ctxs u8, sizes u8, hashes u64, freqs u64, total_integers)."""
-    total = 0
+    """-> (ctxs u8, sizes u8, hashes u64, freqs u64, total_integers).
+
+    Blocks are grouped by selector context ACROSS buffers: windows
+    never cross block boundaries (256 % s == 0 for every target size),
+    so the multiset of counted windows per (ctx, s) is identical to
+    the per-buffer loop."""
+    total = sum(len(b) for b in buffers)
+    blocks = _all_blocks(buffers)
     acc: dict[tuple[int, int], list] = {}
-    for buf in buffers:
-        if not len(buf):
-            continue
-        total += len(buf)
-        nblocks = len(buf) // BLOCK_SIZE
-        if not nblocks:
-            continue
-        blocks = buf[: nblocks * BLOCK_SIZE].reshape(nblocks, BLOCK_SIZE)
+    if len(blocks):
         ctxs = selector_codes(blocks.max(axis=1))
         for ctx in np.unique(ctxs):
             sel = np.ascontiguousarray(blocks[ctxs == ctx]).ravel()
             for s in TARGET_SIZES:
                 h = aligned_hashes(sel, s)
                 if len(h):
-                    acc.setdefault((int(ctx), s), []).append(h)
+                    acc[(int(ctx), s)] = [h]
     return (*_unique_per_key(acc), total)
 
 
@@ -233,16 +249,19 @@ def resolve_patterns(buffers, wanted_by_key: dict,
     its pattern bytes (min bytes under collision — deterministic).
 
     ``wanted_by_key``: {(ctx, size): sorted u64 array}; pass
-    ``num_selectors=None`` for single-dict (ctx ignored, always 0)."""
-    # sorted probe array + found-mask per key: membership tests and
-    # already-found filtering both stay vectorized
+    ``num_selectors=None`` for single-dict (ctx ignored, always 0).
+
+    One vectorized scan per (ctx, size) over the batch's concatenated
+    aligned buffers (alignment preserved per piece, see
+    ``_concat_aligned``); under a 64-bit collision the batch
+    contributes its first occurrence and the caller min-reduces bytes
+    across batches — same deterministic-min semantics as before."""
     probe = {k: np.sort(v) for k, v in wanted_by_key.items() if len(v)}
-    done_mask = {k: np.zeros(len(v), dtype=bool) for k, v in probe.items()}
-    open_keys = set(probe)
     found: dict[int, bytes] = {}
 
     def scan(key, flat_buf):
-        if key not in open_keys:
+        arr = probe.get(key)
+        if arr is None:
             return
         s = key[1]
         m = len(flat_buf) // s * s
@@ -251,39 +270,27 @@ def resolve_patterns(buffers, wanted_by_key: dict,
         w = flat_buf[:m].reshape(-1, s)
         h = aligned_hashes(flat_buf, s)
         u, idx = np.unique(h, return_index=True)
-        arr = probe[key]
-        mask = done_mask[key]
         pos = np.searchsorted(arr, u)
         pos[pos >= len(arr)] = len(arr) - 1
-        hit = np.flatnonzero((arr[pos] == u) & ~mask[pos])
+        hit = np.flatnonzero(arr[pos] == u)
         for j in hit.tolist():
             hv = int(u[j])
             pat = np.ascontiguousarray(w[idx[j]].astype("<u4")).tobytes()
             prev = found.get(hv)
             if prev is None or pat < prev:
                 found[hv] = pat
-            mask[pos[j]] = True
-        if mask.all():
-            open_keys.discard(key)
 
-    for buf in buffers:
-        if not len(buf):
-            continue
-        if num_selectors is None:
-            for s in TARGET_SIZES:
-                scan((0, s), buf)
-        else:
-            nblocks = len(buf) // BLOCK_SIZE
-            if not nblocks:
-                continue
-            blocks = buf[: nblocks * BLOCK_SIZE].reshape(nblocks, BLOCK_SIZE)
+    if num_selectors is None:
+        for s in TARGET_SIZES:
+            scan((0, s), _concat_aligned(buffers, s))
+    else:
+        blocks = _all_blocks(buffers)
+        if len(blocks):
             ctxs = selector_codes(blocks.max(axis=1))
             for ctx in np.unique(ctxs):
                 sel = np.ascontiguousarray(blocks[ctxs == ctx]).ravel()
                 for s in TARGET_SIZES:
                     scan((int(ctx), s), sel)
-        if not open_keys:
-            break
     return found
 
 

@@ -570,8 +570,11 @@ def q_posting_lists(sf_dir: str):
 
     rows = tokenize_rows(_docs_ds(sf_dir))
     vocab = build_vocabulary(rows)
-    # low salt threshold so the salted path is exercised at sf scale
-    cfg = BuildConfig(salt_df_threshold=64, salt_bucket_docs=128)
+    # low salt threshold + forced salted strategy so that path is
+    # exercised (and oracle-checked) at sf scale; index_roundtrip_*
+    # entries cover the default single-exchange merge
+    cfg = BuildConfig(salt_df_threshold=64, salt_bucket_docs=128,
+                      merge_strategy="salted")
     lists = build_posting_lists(rows, vocab, cfg)
     return lists.map_batches(_explode_lists, batch_format="pyarrow")
 

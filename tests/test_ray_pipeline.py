@@ -21,9 +21,11 @@ from dint_ray.queries import algorithms as qa
 N_DOCS = 400
 VOCAB = 300
 
-# low salting threshold on purpose: head terms of the fixture exceed it,
-# so the salted two-phase merge path is exercised at test scale
+# low salting threshold + forced salted strategy on purpose: head terms
+# of the fixture exceed it, so the two-phase merge path is exercised at
+# test scale (the default auto strategy picks single-exchange here)
 BCFG = BuildConfig(salt_df_threshold=64, salt_bucket_docs=100,
+                   merge_strategy="salted",
                    tokenize_batch_size=128, tokenize_concurrency=2,
                    encode_concurrency=2)
 
