@@ -199,24 +199,40 @@ def _opt_encode_core(buf: np.ndarray, lookup: LookupTable, b: int,
     return bytes(out)
 
 
+def _opt_encode(buf: np.ndarray, lookup: LookupTable, b: int,
+                hashed=None) -> bytes:
+    """C kernel when available (byte-identical, asserted in tests),
+    else the pure-Python DP.  ``hashed`` carries the (hashes, tails)
+    precompute for the Python path so multi-dict reuses one pass."""
+    from dint_ray import native
+
+    enc = native.opt_encode(buf, lookup, b)
+    if enc is not None:
+        return enc
+    hashes, tails = hashed if hashed is not None else _precompute_hashes(buf)
+    return _opt_encode_core(buf, lookup, b, hashes, tails)
+
+
 def encode_block_opt(buf: np.ndarray, d: PackedDict) -> bytes:
     """opt_dint_single_dict_block::encode with b=16."""
-    hashes, tails = _precompute_hashes(buf)
-    return _opt_encode_core(buf, d.lookup, 16, hashes, tails)
+    return _opt_encode(buf, d.lookup, 16)
 
 
 def encode_block_multi(buf: np.ndarray, m: MultiPackedDict) -> bytes:
     """opt_dint_multi_dict_block::encode: 12-way best-of, control byte.
 
-    The window hashes are computed once and shared across all 12 DP
-    runs (the mitigation noted in SURVEY.md §7.4.4).
+    With the C kernel each run hashes windows in-kernel; on the Python
+    path the window hashes are computed once and shared across all 12
+    DP runs (the mitigation noted in SURVEY.md §7.4.4).
     """
-    hashes, tails = _precompute_hashes(buf)
+    from dint_ray import native
+
+    hashed = None if native.available() else _precompute_hashes(buf)
     best: bytes | None = None
     best_sc = 0
     for s in range(m.num_dictionaries):
-        e16 = _opt_encode_core(buf, m.dicts[s].lookup, 16, hashes, tails)
-        e8 = _opt_encode_core(buf, m.small_lookups[s], 8, hashes, tails)
+        e16 = _opt_encode(buf, m.dicts[s].lookup, 16, hashed)
+        e8 = _opt_encode(buf, m.small_lookups[s], 8, hashed)
         if len(e8) <= len(e16):
             smallest, sc = e8, s + m.num_dictionaries
         else:

@@ -722,9 +722,141 @@ int64_t wand_compressed_query(
     }
     return heap_finalize(&hp, out_docs, out_scores);
 }
+
+/* ---- DINT opt DP encoder ------------------------------------------------
+   Mirrors dint/codec.py _opt_encode_core exactly (same window hashing
+   as util.py window_hashes/_finalize, same DP update order, same
+   tie-breaking, same byte emission) so C output == Python output
+   byte-for-byte.  Reference semantics: opt_dint block encode,
+   /root/reference/include/dint/dint_codecs.hpp:147-283. */
+
+#define ENC_M      0x9E3779B97F4A7C15ULL
+#define ENC_LENMIX 0xC2B2AE3D27D4EB4FULL
+#define ENC_MIX1   0xBF58476D1CE4E5B9ULL
+#define ENC_MIX2   0x94D049BB133111EBULL
+#define ENC_INVALID 0xFFFFFFFFu
+
+static uint64_t enc_hash(const uint32_t *v, int64_t len) {
+    uint64_t h = 0;
+    for (int64_t i = 0; i < len; i++) h = h * ENC_M + (uint64_t)v[i];
+    h += ENC_LENMIX * (uint64_t)len;
+    h ^= h >> 30; h *= ENC_MIX1;
+    h ^= h >> 27; h *= ENC_MIX2;
+    h ^= h >> 31;
+    return h;
+}
+
+static uint32_t enc_lookup(const uint64_t *th, const uint32_t *tc,
+                           int64_t m, uint64_t h) {
+    int64_t lo = 0, hi = m;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (th[mid] < h) lo = mid + 1; else hi = mid;
+    }
+    if (lo < m && th[lo] == h) return tc[lo];
+    return ENC_INVALID;
+}
+
+/* n <= 4096; returns bytes written, or -1 if n too large.
+   b is the codeword width in bits (8 or 16). */
+int64_t dint_opt_encode(const uint32_t *buf, int64_t n,
+                        const uint64_t *th, const uint32_t *tc, int64_t m,
+                        int32_t b, uint8_t *out) {
+    if (n <= 0 || n > 4096) return -1;
+    static const int SIZES[5] = {16, 8, 4, 2, 1};
+    int32_t z[4096];                 /* zero-run length starting at i */
+    int32_t parent[4097];
+    uint32_t codeword[4097];
+    int32_t cost[4097];
+    {
+        int32_t run = 0;
+        for (int64_t i = n - 1; i >= 0; i--) {
+            run = buf[i] ? 0 : run + 1;
+            z[i] = run;
+        }
+    }
+    for (int64_t j = 0; j <= n; j++) {
+        parent[j] = (int32_t)j - 1;
+        codeword[j] = 1;
+        cost[j] = (int32_t)(3 * j);
+    }
+    parent[0] = 0; codeword[0] = 1; cost[0] = 0;
+
+    for (int64_t i = 0; i < n; i++) {
+        int32_t ci = cost[i];
+        int32_t run = z[i];
+        if (run >= 16) {
+            int32_t k = 256;
+            uint32_t index = 2;       /* EXCEPTIONS */
+            while (run < k && k > 16) { k >>= 1; index++; }
+            while (k >= 16) {
+                int32_t c = ci + 1;
+                int64_t j = i + k;
+                if (cost[j] > c) {
+                    parent[j] = (int32_t)i; codeword[j] = index; cost[j] = c;
+                }
+                k >>= 1; index++;
+            }
+        }
+        for (int si = 0; si < 5; si++) {
+            int32_t s = SIZES[si];
+            int64_t ln = (i + s <= n) ? s : n - i;
+            uint32_t cw = enc_lookup(th, tc, m, enc_hash(buf + i, ln));
+            if (cw != ENC_INVALID) {
+                int32_t c = ci + 1;
+                int64_t j = i + ln;
+                if (cost[j] > c) {
+                    parent[j] = (int32_t)i; codeword[j] = cw; cost[j] = c;
+                }
+            } else if (s == 1) {
+                uint32_t v = buf[i];
+                int32_t c; uint32_t cw0;
+                if (v < 65536u) { c = ci + 2; cw0 = 0; }
+                else            { c = ci + 3; cw0 = 1; }
+                if (cost[i + 1] > c) {
+                    parent[i + 1] = (int32_t)i;
+                    codeword[i + 1] = cw0; cost[i + 1] = c;
+                }
+            }
+        }
+    }
+
+    /* backtrack into a start-position stack, then emit forward */
+    int32_t starts[4097]; uint32_t cws[4097]; int64_t nseg = 0;
+    int64_t i = n;
+    while (i != 0) {
+        starts[nseg] = parent[i];
+        cws[nseg] = codeword[i];
+        nseg++;
+        i = parent[i];
+    }
+    uint8_t *p = out;
+    int nbytes = b / 8;
+    for (int64_t si = nseg - 1; si >= 0; si--) {
+        uint32_t cw = cws[si];
+        if (cw > 1) {
+            *p++ = (uint8_t)(cw & 0xFF);
+            if (nbytes == 2) *p++ = (uint8_t)(cw >> 8);
+        } else {
+            *p++ = (uint8_t)cw;
+            if (nbytes == 2) *p++ = 0;
+            uint32_t v = buf[starts[si]];
+            *p++ = (uint8_t)(v & 0xFF);
+            *p++ = (uint8_t)((v >> 8) & 0xFF);
+            if (cw == 1) {
+                *p++ = (uint8_t)((v >> 16) & 0xFF);
+                *p++ = (uint8_t)((v >> 24) & 0xFF);
+            }
+        }
+    }
+    return p - out;
+}
 """
 
 _CDEF = """
+int64_t dint_opt_encode(const uint32_t *buf, int64_t n,
+                        const uint64_t *th, const uint32_t *tc, int64_t m,
+                        int32_t b, uint8_t *out);
 int64_t wand_query(int n_lists, const uint64_t *docs_ptrs,
                    const uint64_t *w_ptrs, const int64_t *lens,
                    const float *max_weights, uint32_t universe, int k,
@@ -859,6 +991,32 @@ def _out_buffers(ffi, k: int):
             ffi.cast("int64_t *", out_docs.ctypes.data),
             ffi.cast("float *", out_scores.ctypes.data))
     return got
+
+
+def opt_encode(buf: np.ndarray, lookup, b: int) -> bytes | None:
+    """C twin of dint/codec.py _opt_encode_core (byte-identical output;
+    asserted in tests).  ``lookup`` is a dictionary.LookupTable whose
+    .hashes (sorted uint64) / .codewords (uint32) drive the in-kernel
+    binary search; window hashing happens in C too, so the Python
+    caller skips _precompute_hashes entirely.  None -> Python path."""
+    ffi, lib = get_lib()
+    if lib is None or len(buf) == 0 or len(buf) > 4096:
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.uint32)
+    th = lookup.hashes
+    tc = lookup.codewords
+    if not (th.flags.c_contiguous and tc.flags.c_contiguous):
+        th = np.ascontiguousarray(th)
+        tc = np.ascontiguousarray(tc)
+    out = np.empty(6 * len(buf) + 16, dtype=np.uint8)
+    got = lib.dint_opt_encode(
+        ffi.cast("uint32_t *", buf.ctypes.data), len(buf),
+        ffi.cast("uint64_t *", th.ctypes.data),
+        ffi.cast("uint32_t *", tc.ctypes.data), len(th),
+        b, ffi.cast("uint8_t *", out.ctypes.data))
+    if got < 0:
+        return None
+    return out[:got].tobytes()
 
 
 def run_topk(algo: str, lists, k: int, universe: int, blocks=None):

@@ -278,3 +278,27 @@ def test_rect_dictionary_matches_packed_stream():
     # payloads byte-identical: same codeword values, same layout
     for t in postings:
         assert packed.index.payloads[t] == rect.index.payloads[t]
+
+
+def test_c_opt_encoder_matches_python(single_dict, multi_dict):
+    """The C DP encode kernel (native.dint_opt_encode) must be
+    BYTE-identical to the pure-Python _opt_encode_core on every block
+    shape — same window hashing, same DP tie-breaking, same emission."""
+    from dint_ray import native
+
+    if not native.available():
+        pytest.skip("C kernels unavailable")
+    rng = np.random.default_rng(123)
+    blocks = list(BLOCKS)
+    # partial tails and odd lengths (DP tail-codeword paths)
+    for n in (1, 2, 15, 17, 255):
+        blocks.append(rng.integers(0, 300, n).astype(np.uint32))
+    for buf in blocks:
+        hashes, tails = dc._precompute_hashes(buf)
+        for lk, b in ((single_dict.lookup, 16),
+                      (multi_dict.dicts[0].lookup, 16),
+                      (multi_dict.small_lookups[0], 8),
+                      (multi_dict.small_lookups[3], 8)):
+            want = dc._opt_encode_core(buf, lk, b, hashes, tails)
+            got = native.opt_encode(buf, lk, b)
+            assert got == want, (len(buf), b)
