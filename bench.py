@@ -111,24 +111,38 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # they pay pointer-chasing cost for no skipped postings).
     qlog = generate_queries(NUM_QUERIES, manifest["num_terms"])
     qds = queries_to_dataset(qlog)
-    # untimed warmups (the reference's pass 0, queries.cpp:104-111):
-    # routed = serve-layout build + bucket-owner init; broadcast =
-    # shared scored image build
+
+    def timed_serve(tag: str, algo: str, bcast: bool, passes: int = 2):
+        """Best-of-N timed passes (the reference harness times 10 runs
+        after warmup, queries.cpp:104-111, and reports the best for the
+        same reason: on a shared host a single pass is contaminated by
+        scheduler/teardown transients)."""
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.time()
+            res = run_queries_ray(qds, out_dir, algo=algo, k=K,
+                                  concurrency=num_cpus, batch_size=32,
+                                  broadcast=bcast)
+            nrows = res.count()
+            best = min(best, time.time() - t0)
+            assert nrows > 0
+        times[tag] = best
+
+    # ROUTED runs first: each broadcast run spins up (and then tears
+    # down) a fresh Ray Data actor pool, and a dying pool's CPU
+    # reservations bleed ~2 s into whatever is timed next — so the
+    # routed timed runs happen before any broadcast pool has existed.
+    # untimed warmup (the reference's pass 0, queries.cpp:104-111):
+    # serve-layout build + bucket-owner init
     run_queries_ray(qds.limit(32), out_dir, algo="wand", k=K,
                     concurrency=num_cpus).count()
+    timed_serve("bm25_wand_serve", "wand", False)
+    timed_serve("bm25_maxscore_serve", "maxscore", False)
+    # untimed broadcast warmup: shared scored image build
     run_queries_ray(qds.limit(32), out_dir, algo="wand", k=K,
                     concurrency=num_cpus, broadcast=True).count()
-    for algo, tag, bcast in (("ranked_or_fast", "bm25_serve", True),
-                             ("wand", "bm25_wand_serve", False),
-                             ("wand", "bm25_wand_broadcast", True),
-                             ("maxscore", "bm25_maxscore_serve", False)):
-        t0 = time.time()
-        res = run_queries_ray(qds, out_dir, algo=algo, k=K,
-                              concurrency=num_cpus, batch_size=32,
-                              broadcast=bcast)
-        nrows = res.count()
-        times[tag] = time.time() - t0
-        assert nrows > 0
+    timed_serve("bm25_serve", "ranked_or_fast", True)
+    timed_serve("bm25_wand_broadcast", "wand", True)
     extra["queries_per_sec"] = round(NUM_QUERIES / times["bm25_serve"], 1)
     extra["wand_queries_per_sec"] = round(
         NUM_QUERIES / times["bm25_wand_serve"], 1)
