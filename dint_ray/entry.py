@@ -857,6 +857,35 @@ def q_wand_routed_compressed(sf_dir: str):
     return out.map_batches(strip, batch_format="pyarrow")
 
 
+def q_wand_routed_direct(sf_dir: str):
+    """Routed WAND over a serve layout built by the DIRECT path
+    (pipelines/partitioned.build_serve_direct): pages -> (bucket, term)
+    segments -> dictionaries mined from segment gaps -> per-bucket
+    encode, with no whole posting list materialized in any task — the
+    100-TB build route.  Rank-identity with the classic whole-list
+    index is what the oracle checks (same SQL ranked-OR triples)."""
+    from dint_ray.pipelines.partitioned import (build_serve_direct,
+                                                run_queries_routed)
+
+    idir = index_dir_for(sf_dir, "serve_direct")
+    os.makedirs(idir, exist_ok=True)
+    build_serve_direct(os.path.join(sf_dir, "documents.parquet"), idir,
+                       kind="single_packed", num_buckets=4)
+    qds = _query_ds(QUERY_LOG)
+    out = run_queries_routed(qds, idir, algo="wand", k=K, num_buckets=4)
+
+    def strip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "query_id": b.column("query_id").cast(pa.int64()),
+            "rank": pc.add(b.column("rank").cast(pa.int64()), 1),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_maxscore_routed(sf_dir: str):
     return _run_routed(sf_dir, "maxscore", "ranked_or")
 
@@ -1125,6 +1154,8 @@ def registry():
         "bm25_wand_routed": (q_wand_routed, SQL_RANKED_OR),
         "bm25_wand_routed_compressed": (q_wand_routed_compressed,
                                         SQL_RANKED_OR_DOCS),
+        "bm25_wand_routed_direct": (q_wand_routed_direct,
+                                    SQL_RANKED_OR_DOCS),
         "bm25_maxscore_routed": (q_maxscore_routed, SQL_RANKED_OR),
         "bm25_ranked_and_routed": (q_ranked_and_routed, SQL_RANKED_AND),
         "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),

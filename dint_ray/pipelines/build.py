@@ -366,6 +366,30 @@ class EncodeLists:
         })
 
 
+def dicts_from_stats_stage(stats_docs, stats_freqs, kind: str,
+                           out_dir: str, cfg: DintConfig) -> BuiltDicts:
+    """Driver-side dictionary selection + crash-safe npz checkpoint
+    (shared by the classic whole-list build and the direct serve-layout
+    build — both feed gap-pattern stats in, dictionaries out)."""
+    dict_path = os.path.join(out_dir, f"dicts_{kind}.npz")
+    if (os.path.exists(dict_path + ".docs.npz")
+            and os.path.exists(dict_path + ".freqs.npz")):
+        return BuiltDicts(kind=kind,
+                          docs_dict=load_dict(dict_path + ".docs.npz"),
+                          freqs_dict=load_dict(dict_path + ".freqs.npz"))
+    dicts = _dicts_from_stats(stats_docs, stats_freqs, kind, cfg)
+    saver = save_multi if kind == "multi_packed" else save_single
+    # crash-safe: write both to temp paths, then atomically publish
+    # (resume gates on BOTH files existing, so a crash between the two
+    # replaces never looks done)
+    for suffix, d in ((".docs.npz", dicts.docs_dict),
+                      (".freqs.npz", dicts.freqs_dict)):
+        tmp = dict_path + suffix + ".tmp.npz"
+        saver(tmp, d)
+        os.replace(tmp, dict_path + suffix)
+    return dicts
+
+
 def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
                     cfg: DintConfig = DintConfig(),
                     bcfg: BuildConfig = BuildConfig(),
@@ -458,24 +482,8 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         t = _tick("pattern_stats", t)
 
         # --- stage 6: dictionaries (driver; stats are tiny) ---
-        dict_path = os.path.join(out_dir, f"dicts_{kind}.npz")
-        if (os.path.exists(dict_path + ".docs.npz")
-                and os.path.exists(dict_path + ".freqs.npz")):
-            docs_dict = load_dict(dict_path + ".docs.npz")
-            freqs_dict = load_dict(dict_path + ".freqs.npz")
-            dicts = BuiltDicts(kind=kind, docs_dict=docs_dict,
-                               freqs_dict=freqs_dict)
-        else:
-            dicts = _dicts_from_stats(stats_docs, stats_freqs, kind, cfg)
-            saver = save_multi if kind == "multi_packed" else save_single
-            # crash-safe: write both to temp paths, then atomically
-            # publish (resume gates on BOTH files existing, so a crash
-            # between the two replaces never looks done)
-            for suffix, d in ((".docs.npz", dicts.docs_dict),
-                              (".freqs.npz", dicts.freqs_dict)):
-                tmp = dict_path + suffix + ".tmp.npz"
-                saver(tmp, d)
-                os.replace(tmp, dict_path + suffix)
+        dicts = dicts_from_stats_stage(stats_docs, stats_freqs, kind,
+                                       out_dir, cfg)
         t = _tick("dictionaries", t)
 
     # --- stage 7: encode + shard write ---

@@ -160,6 +160,232 @@ def build_serve_partitions(index_dir: str, num_buckets: int,
 
 
 # --------------------------------------------------------------------------
+# direct serve-layout build (no whole-list materialization anywhere)
+# --------------------------------------------------------------------------
+
+def _segment_rows_block(batch: pa.Table, *, width: int) -> pa.Table:
+    """One hash partition of keyed posting rows -> (bucket, term)
+    segment rows with bucket-RELATIVE sorted docids, in one vectorized
+    kernel (lexsort + boundary slice, postings._lists_by_key)."""
+    from dint_ray.postings import _lists_by_key
+
+    if batch.num_rows == 0:
+        return pa.table({
+            "bucket": pa.array([], pa.uint32()),
+            "term_id": pa.array([], pa.uint32()),
+            "docs": pa.array([], pa.list_(pa.uint32())),
+            "freqs": pa.array([], pa.list_(pa.uint32())),
+        })
+    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = doc // width
+    rel = doc - bucket * width
+    return _lists_by_key([bucket, term, doc], {"docs": rel, "freqs": tf},
+                         {"bucket": bucket, "term_id": term})
+
+
+class _EncodeSegments:
+    """Actor-pool encode of (bucket, term) segments: DINT payload over
+    the RELATIVE docids + the segment-local max BM25 weight.  Norms are
+    broadcast whole here (sandbox scale); the 10^12-doc refinement is a
+    per-bucket norm slice read from sizes.parquet with a doc_id range
+    filter — the layout already keys every batch by bucket."""
+
+    def __init__(self, dicts_ref, norms_ref, width: int) -> None:
+        import ray
+
+        from dint_ray.scoring import doc_term_weight
+
+        d = ray.get(dicts_ref)
+        self.docs_codec, self.freqs_codec = d.codecs()
+        self.norms = ray.get(norms_ref)
+        self._dtw = doc_term_weight
+        self._width = int(width)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from dint_ray.index.layout import write_posting_list
+        from dint_ray.util import list_views
+
+        buckets = batch.column("bucket").to_numpy()
+        tids = batch.column("term_id").to_numpy()
+        docs_views = list_views(batch.column("docs"))
+        freqs_views = list_views(batch.column("freqs"))
+        o_pl, o_df, o_mw = [], [], []
+        for b, rel, freqs in zip(buckets, docs_views, freqs_views):
+            rel = np.ascontiguousarray(rel, dtype=np.uint32)
+            freqs = np.ascontiguousarray(freqs, dtype=np.uint32)
+            o_pl.append(write_posting_list(rel, freqs, self.docs_codec,
+                                           self.freqs_codec))
+            o_df.append(len(rel))
+            base = int(b) * self._width
+            w = self._dtw(freqs, self.norms[rel.astype(np.int64) + base])
+            o_mw.append(float(w.max()))
+        return pa.table({
+            "bucket": pa.array(buckets.astype(np.int32), pa.int32()),
+            "term_id": pa.array(tids.astype(np.uint32), pa.uint32()),
+            "df_local": pa.array(np.asarray(o_df, np.uint32), pa.uint32()),
+            "max_weight": pa.array(np.asarray(o_mw, np.float32), pa.float32()),
+            "payload": pa.array(o_pl, pa.binary()),
+        })
+
+
+def build_serve_direct(pages_path: str, out_dir: str,
+                       kind: str = "single_packed", num_buckets: int = 8,
+                       cfg=None, bcfg=None, from_html: bool = False) -> str:
+    """pages parquet -> routed serve layout, never materializing a
+    whole posting list anywhere (SURVEY.md §7.4 risk 8 — the 100-TB
+    build path; the classic build's per-term list rows bound one task's
+    memory by the LONGEST list, this path by one doc bucket's segment).
+
+    Stages (all checkpointed under ``out_dir``):
+      tokenize -> rows; vocabulary; doc sizes        (shared with build)
+      rows -> term ids -> ONE (bucket, term) hash exchange ->
+        vectorized segment slice (bucket-relative docids)
+      gap-pattern stats over SEGMENT gap streams -> dictionaries
+        (patterns mined from exactly the streams that get encoded)
+      segment encode (actor pool, dicts via ray.put) ->
+        serve_{P}/bucket=b/ parquet + meta + manifest
+
+    The output directory serves directly via run_queries_routed /
+    partition_actors (build_serve_partitions sees the _SUCCESS marker
+    and short-circuits).  Global BM25 stats (df, N, avg len) come from
+    the vocabulary/sizes artifacts, so scores are rank-identical to the
+    classic whole-list index — asserted by the
+    ``bm25_wand_routed_direct`` oracle entry and tests.
+
+    Reference behavior mirrored: the end state equals
+    create_freq_index + queries' mmap image (queries.cpp:69-83)
+    generalized to P owners; the build route is new (the reference
+    builds whole lists because it is single-node)."""
+    import dint_ray
+    dint_ray.ensure_tuned()
+    import ray
+    import ray.data as rd
+
+    from dint_ray.config import BuildConfig, DintConfig
+    from dint_ray.index.shards import write_manifest
+    from dint_ray.pipelines.build import (_done, _mark_done,
+                                          dicts_from_stats_stage,
+                                          mine_stats_ray)
+    from dint_ray.postings import (AssignTermId, Vocabulary, _shuffle_width,
+                                   build_vocabulary, doc_sizes,
+                                   tokenize_rows)
+
+    cfg = cfg or DintConfig()
+    bcfg = bcfg or BuildConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    serve_dir = serve_dir_for(out_dir, num_buckets)
+    if os.path.exists(os.path.join(serve_dir, "_SUCCESS")):
+        return out_dir
+
+    num_docs = pq.read_metadata(pages_path).num_rows if os.path.isfile(pages_path) \
+        else rd.read_parquet(pages_path).count()
+    width = (num_docs + num_buckets - 1) // num_buckets
+    pages = rd.read_parquet(
+        pages_path, columns=["doc_id", "html" if from_html else "text"])
+
+    rows_dir = os.path.join(out_dir, "postings_rows")
+    if not _done(rows_dir):
+        os.makedirs(rows_dir, exist_ok=True)
+        tokenize_rows(pages, bcfg, from_html=from_html).write_parquet(rows_dir)
+        _mark_done(rows_dir)
+    rows_ds = rd.read_parquet(rows_dir)
+
+    vocab_path = os.path.join(out_dir, "vocab.parquet")
+    if os.path.exists(vocab_path):
+        vocab = Vocabulary(terms=pq.read_table(vocab_path).to_pandas())
+    else:
+        vocab = build_vocabulary(rows_ds)
+        tmp = vocab_path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(vocab.terms, preserve_index=False),
+                       tmp)
+        os.replace(tmp, vocab_path)
+
+    sizes_path = os.path.join(out_dir, "sizes.parquet")
+    if not os.path.exists(sizes_path):
+        sz = doc_sizes(rows_ds).to_pandas()
+        tmp = sizes_path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(sz, preserve_index=False), tmp)
+        os.replace(tmp, sizes_path)
+    sz = pq.read_table(sizes_path)
+    sizes = np.zeros(num_docs, dtype=np.uint32)
+    sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = \
+        sz.column("len").to_numpy()
+    avg = float(np.asarray(sizes, dtype=np.float64).sum()) / num_docs
+    norm_lens = (sizes.astype(np.float32) / np.float32(avg)).astype(np.float32)
+
+    # ONE exchange: (bucket, term) co-location, vectorized segment slice
+    segs_dir = os.path.join(out_dir, "segments")
+    if not _done(segs_dir):
+        os.makedirs(segs_dir, exist_ok=True)
+        vocab_ref = ray.put(vocab)
+        keyed = rows_ds.map_batches(
+            AssignTermId,
+            fn_constructor_kwargs={
+                "vocab_ref": vocab_ref,
+                "salt_df_threshold": bcfg.salt_df_threshold,
+                "salt_bucket_docs": bcfg.salt_bucket_docs,
+                "emit_bucket": False,
+                "small_docids": num_docs < 2**32 - 1,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, bcfg.pool_size(bcfg.tokenize_concurrency)),
+            num_cpus=1,
+        )
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+                 // width).astype(np.uint32)
+            return batch.append_column("bucket", pa.array(b, pa.uint32()))
+
+        (keyed.map_batches(add_bucket, batch_format="pyarrow")
+         .repartition(_shuffle_width(), keys=["bucket", "term_id"], sort=True)
+         .map_batches(_segment_rows_block, fn_kwargs={"width": width},
+                      batch_format="pyarrow", batch_size=None)
+         .write_parquet(segs_dir))
+        _mark_done(segs_dir)
+    segs_ds = rd.read_parquet(segs_dir)
+
+    # dictionaries mined from the SEGMENT gap streams (exactly what
+    # gets encoded; bounded buffers — never a whole list)
+    stats_docs, stats_freqs = mine_stats_ray(
+        segs_ds, kind,
+        os.path.join(out_dir, "stats_docs.parquet"),
+        os.path.join(out_dir, "stats_freqs.parquet"), cfg)
+    dicts = dicts_from_stats_stage(stats_docs, stats_freqs, kind,
+                                   out_dir, cfg)
+
+    os.makedirs(serve_dir, exist_ok=True)
+    dicts_ref = ray.put(dicts)
+    norms_ref = ray.put(norm_lens)
+    (segs_ds.map_batches(
+        _EncodeSegments, fn_constructor_kwargs={
+            "dicts_ref": dicts_ref, "norms_ref": norms_ref,
+            "width": width},
+        batch_format="pyarrow",
+        batch_size=bcfg.encode_batch_size,
+        concurrency=(1, bcfg.pool_size(bcfg.encode_concurrency)),
+        num_cpus=1)
+     .write_parquet(serve_dir, partition_cols=["bucket"]))
+
+    meta = {"num_buckets": num_buckets, "bucket_width": width,
+            "num_docs": num_docs, "avg_doc_len": avg}
+    with open(os.path.join(serve_dir, "meta.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    os.replace(os.path.join(serve_dir, "meta.json.tmp"),
+               os.path.join(serve_dir, "meta.json"))
+    write_manifest(out_dir, num_docs=num_docs, num_terms=vocab.size,
+                   avg_doc_len=avg, dict_kind=kind, shards=[],
+                   extra={"pages_path": os.path.abspath(pages_path),
+                          "build_mode": "serve_direct",
+                          "num_buckets": num_buckets})
+    with open(os.path.join(serve_dir, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+# --------------------------------------------------------------------------
 # partition-local index state
 # --------------------------------------------------------------------------
 

@@ -278,3 +278,38 @@ def test_routed_compressed_storage_identical(built):
     assert got["doc_id"].tolist() == ref["doc_id"].tolist()
     np.testing.assert_array_equal(got["score"].to_numpy(),
                                   ref["score"].to_numpy())
+
+
+def test_direct_serve_build_matches_classic(built, tmp_path_factory):
+    """The direct serve-layout build (pages -> bucket/term segments ->
+    segment-mined dictionaries -> per-bucket encode, NO whole posting
+    list in any task) must serve rank-identical top-k to the classic
+    whole-list index."""
+    from dint_ray.pipelines.partitioned import (build_serve_direct,
+                                                run_queries_routed)
+
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    pages_path = pages_fixture_path(N_DOCS, VOCAB, seed=5)
+    direct_dir = str(tmp_path_factory.mktemp("direct"))
+    build_serve_direct(pages_path, direct_dir, kind="single_packed",
+                       num_buckets=3, bcfg=BCFG)
+    # segments checkpoint exists and no row holds a whole head list
+    import pyarrow.parquet as pq
+
+    segs = pq.read_table(f"{direct_dir}/segments")
+    assert segs.num_rows > 0
+    width = (num_docs + 2) // 3
+    for v in segs.column("docs"):
+        assert len(v) <= width
+    queries = generate_queries(25, vocab.size, seed=31)
+    ref = run_queries_ray(queries_to_dataset(queries), out_dir,
+                          algo="wand", k=10, concurrency=2,
+                          broadcast=True).to_pandas()
+    got = run_queries_routed(queries_to_dataset(queries), direct_dir,
+                             algo="wand", k=10,
+                             num_buckets=3).to_pandas()
+    ref = ref.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  ref["score"].to_numpy())
