@@ -53,9 +53,53 @@ class Tokenizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         if self.from_html:
-            texts = [extract_text(h) for h in batch.column("html").to_pylist()]
+            texts = pa.array(
+                [extract_text(h) for h in batch.column("html").to_pylist()])
         else:
-            texts = batch.column(self.text_col).to_pylist()
+            texts = batch.column(self.text_col)
+        try:
+            return self._tokenize_arrow(ids, texts)
+        except (pa.ArrowNotImplementedError, AttributeError):
+            return self._tokenize_python(ids, texts.to_pylist())
+
+    def _tokenize_arrow(self, ids: np.ndarray, texts) -> pa.Table:
+        """Vectorized path: split on the token-class COMPLEMENT (same
+        token multiset as re.findall('[a-z0-9]+', lower) once empties
+        are dropped — equivalence pinned in tests), dictionary-encode
+        tokens, count (doc, code) pairs with one np.unique.  No
+        per-document Python."""
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                      pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets)
+        vals = toks.values
+        doc_idx = np.repeat(np.arange(len(ids)), np.diff(offs))
+        keep = np.asarray(pc.binary_length(vals)) > 0
+        vals = vals.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        if len(doc_idx) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.uint64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.uint32()),
+            })
+        enc = vals.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        key = (doc_idx.astype(np.int64) << 32) | codes
+        uk, tf = np.unique(key, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(ids[(uk >> 32)].astype(np.uint64),
+                               pa.uint64()),
+            "term": enc.dictionary.take(
+                pa.array((uk & 0xFFFFFFFF).astype(np.int32))),
+            "tf": pa.array(tf.astype(np.uint32), pa.uint32()),
+        })
+
+    def _tokenize_python(self, ids: np.ndarray, texts: list) -> pa.Table:
+        """Reference per-doc path (also the semantic spec for tests)."""
         out_ids: list[np.ndarray] = []
         out_terms: list[str] = []
         out_tfs: list[np.ndarray] = []

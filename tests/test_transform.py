@@ -63,3 +63,59 @@ def test_budget_ratio_bounds_space(source, tmp_path):
         tid = next(iter(idx.payloads))
         assert len(idx.decode(tid)[0]) > 0
     assert sizes[1.0] <= sizes[4.0] * 1.05  # tight <= loose (tolerance: parquet overhead)
+
+
+def test_tokenizer_arrow_equals_python():
+    """The vectorized Arrow tokenizer path must produce the same
+    (doc_id, term, tf) multiset as the per-doc regex+Counter reference
+    path on edge shapes (empty docs, punctuation-only, unicode,
+    repeated tokens, leading/trailing separators)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dint_ray.tokenize import Tokenizer
+
+    texts = ["Hello, World 42! hello", "", "  --- ", "a b A B 9x9 a a",
+             "ümlaut Straße mixé", "0", "x" * 5000,
+             "tab\tnewline\nmix 3x 3x"]
+    ids = np.arange(len(texts), dtype=np.uint64)
+    tok = Tokenizer()
+    got = tok._tokenize_arrow(ids, pa.array(texts))
+    want = tok._tokenize_python(ids, texts)
+
+    def as_set(t):
+        return set(zip(t.column("doc_id").to_pylist(),
+                       t.column("term").to_pylist(),
+                       t.column("tf").to_pylist()))
+
+    assert as_set(got) == as_set(want)
+    assert got.schema == want.schema
+
+
+def test_tokenizer_arrow_matches_duckdb_lower():
+    """On characters where Python str.lower() and SQL lower() diverge
+    (e.g. 'İ' -> 'i' + combining dot in Python, plain 'i' in DuckDB and
+    Arrow), the production Arrow path must side with the DuckDB oracle
+    — the oracle_sql() contract is regexp_extract_all(lower(text),
+    '[a-z0-9]+')."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from dint_ray.tokenize import Tokenizer
+
+    texts = ["İstanbul KAYIĞI", "ĄĆĘ Ł ŃÓŚŹŻ"]
+    got = Tokenizer()._tokenize_arrow(
+        np.arange(len(texts), dtype=np.uint64), pa.array(texts))
+    con = duckdb.connect()
+    want = set()
+    for i, t in enumerate(texts):
+        toks = con.execute(
+            "select regexp_extract_all(lower(?), '[a-z0-9]+')", [t]
+        ).fetchone()[0]
+        for tok in set(toks):
+            want.add((i, tok, toks.count(tok)))
+    have = set(zip(got.column("doc_id").to_pylist(),
+                   got.column("term").to_pylist(),
+                   got.column("tf").to_pylist()))
+    assert have == want
