@@ -313,3 +313,32 @@ def test_direct_serve_build_matches_classic(built, tmp_path_factory):
     assert got["doc_id"].tolist() == ref["doc_id"].tolist()
     np.testing.assert_array_equal(got["score"].to_numpy(),
                                   ref["score"].to_numpy())
+
+
+def test_direct_layout_compressed_owners(built, tmp_path_factory):
+    """Compressed-storage owners (C WAND over raw DINT payloads) serve
+    the DIRECT-built layout bit-identically to decoded owners — the
+    full 100-TB configuration: bounded-memory build AND bounded-memory
+    serving."""
+    from dint_ray import native as nat
+    from dint_ray.pipelines.partitioned import (build_serve_direct,
+                                                run_queries_routed)
+
+    if not nat.available():
+        pytest.skip("C kernels unavailable")
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    pages_path = pages_fixture_path(N_DOCS, VOCAB, seed=5)
+    direct_dir = str(tmp_path_factory.mktemp("directc"))
+    build_serve_direct(pages_path, direct_dir, kind="single_packed",
+                       num_buckets=3, bcfg=BCFG)
+    queries = generate_queries(20, vocab.size, seed=41)
+    dec = run_queries_routed(queries_to_dataset(queries), direct_dir,
+                             algo="wand", k=10, num_buckets=3).to_pandas()
+    comp = run_queries_routed(queries_to_dataset(queries), direct_dir,
+                              algo="wand", k=10, num_buckets=3,
+                              storage="compressed").to_pandas()
+    dec = dec.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    comp = comp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert dec["doc_id"].tolist() == comp["doc_id"].tolist()
+    np.testing.assert_array_equal(dec["score"].to_numpy(),
+                                  comp["score"].to_numpy())
