@@ -14,6 +14,7 @@ Queries are a Dataset of (query_id, terms).  Two paths:
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -322,7 +323,17 @@ def run_queries_ray(queries_ds, index_dir: str, algo: str = "wand",
         from dint_ray.pipelines.partitioned import run_queries_routed
 
         # bucket count is a memory decision (fixed by index size);
-        # scale throughput with the cluster via replicas + routers
+        # scale throughput with the cluster via replicas + routers.
+        # A direct-built index (build_serve_direct) fixed its bucket
+        # count at build time — the manifest records it.
+        if num_buckets is None:
+            try:
+                with open(os.path.join(index_dir, "manifest.json")) as f:
+                    m = json.load(f)
+                if m.get("build_mode") == "serve_direct":
+                    num_buckets = int(m["num_buckets"])
+            except (OSError, KeyError, ValueError):
+                pass
         buckets = num_buckets or min(8, max(2, concurrency // 2))
         replicas = max(1, concurrency // (2 * buckets))
         return run_queries_routed(

@@ -20,6 +20,12 @@ import argparse
 import json
 import sys
 
+import os as _os
+
+# runnable standalone (not just via ray job submit --working-dir):
+# the package lives one directory above this script
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -35,6 +41,11 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true",
                     help="decode-replay the built index against the "
                          "tokenized postings (create_freq_index --check)")
+    ap.add_argument("--serve-direct", type=int, default=0, metavar="P",
+                    help="build the routed serve layout with P doc "
+                         "buckets DIRECTLY (no whole posting list in "
+                         "any task — the bounded-memory route); the "
+                         "output serves via scripts/serve_queries.py")
     args = ap.parse_args()
 
     import os
@@ -42,11 +53,27 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        # under `ray job submit` RAY_ADDRESS points at the cluster
+        # under `ray job submit` RAY_ADDRESS points at the cluster;
+        # PYTHONPATH rides in runtime_env so workers import dint_ray
+        # no matter where the script is launched from
+        repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        pp = repo_root + _os.pathsep + os.environ.get("PYTHONPATH", "")
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
-                 include_dashboard=False, ignore_reinit_error=True)
+                 include_dashboard=False, ignore_reinit_error=True,
+                 runtime_env={"env_vars": {"PYTHONPATH": pp}})
 
     from dint_ray.pipelines.build import build_index_ray
+
+    if args.serve_direct:
+        from dint_ray.pipelines.partitioned import build_serve_direct
+
+        build_serve_direct(args.pages, args.out, kind=args.kind,
+                           num_buckets=args.serve_direct,
+                           from_html=args.from_html)
+        with open(os.path.join(args.out, "manifest.json")) as f:
+            print(json.dumps({k: v for k, v in json.load(f).items()
+                              if k != "shards"}))
+        return 0
 
     manifest = build_index_ray(
         args.pages, args.out, kind=args.kind, num_shards=args.num_shards,

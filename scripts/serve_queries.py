@@ -17,6 +17,12 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+import os as _os
+
+# runnable standalone (not just via ray job submit --working-dir):
+# the package lives one directory above this script
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 
@@ -35,8 +41,14 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
+        import os as _os2
+
+        repo_root = _os2.path.dirname(
+            _os2.path.dirname(_os2.path.abspath(__file__)))
+        pp = repo_root + _os2.pathsep + _os2.environ.get("PYTHONPATH", "")
         ray.init(address="local", include_dashboard=False,
-                 ignore_reinit_error=True)
+                 ignore_reinit_error=True,
+                 runtime_env={"env_vars": {"PYTHONPATH": pp}})
 
     from dint_ray.pipelines.serve import queries_to_dataset, run_queries_ray
 
