@@ -87,12 +87,18 @@ def ensure_tuned() -> None:
     serve) so exchange sizing always reflects the LIVE session's CPU
     count rather than the import-time host core count.  Re-runs when a
     new ray session replaces the old one (fresh ray.init after
-    shutdown); no-ops when ray isn't initialized yet."""
+    shutdown).  If ray is not initialized yet, the local session is
+    started here — otherwise the first Dataset creation would snapshot
+    the deliberately tiny import-time exchange config (parallelism 8,
+    2 aggregators) and auto-init AFTERWARDS, a perf cliff on big hosts.
+    This never touches an existing session (drivers/benchmarks own
+    ray.init; this fires only for standalone library use)."""
     try:
         import ray
 
         if not ray.is_initialized():
-            return
+            ray.init(ignore_reinit_error=True,
+                     include_dashboard=False)
         sid = ray.get_runtime_context().get_job_id()
         key = f"{id(ray.worker)}:{sid}"
         if _TUNED_SESSION and _TUNED_SESSION[0] == key:

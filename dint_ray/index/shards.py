@@ -155,14 +155,38 @@ def write_shard(path: str, rows: list[tuple[int, int, float, bytes]]) -> dict:
     }
 
 
+def merge_fragment_payloads(payloads: list[bytes], docs_codec,
+                            freqs_codec) -> bytes:
+    """Merge several payload fragments of ONE posting list into one.
+
+    Duplicate rows for a term arise when the streaming executor splits
+    a hash partition's output into multiple blocks: the per-block list
+    kernel (postings._merge_rows_block / partitioned._segment_rows_block)
+    then emits one row per block for a term straddling the split.
+    Fragments carry disjoint doc sets (each posting row exists exactly
+    once upstream), so merge = decode, concat, sort by docID, re-encode."""
+    parts = [PostingListView(p, docs_codec, freqs_codec).decode_all()
+             for p in payloads]
+    docs = np.concatenate([d for d, _ in parts])
+    freqs = np.concatenate([f for _, f in parts])
+    order = np.argsort(docs, kind="stable")
+    from dint_ray.index.layout import write_posting_list
+
+    return write_posting_list(docs[order].astype(np.uint32),
+                              freqs[order].astype(np.uint32),
+                              docs_codec, freqs_codec)
+
+
 def load_shards(index_dir: str, docs_codec, freqs_codec,
                 shard_ids: list[int] | None = None):
     """Load (a subset of) shards -> (InvertedIndex, max_weight dict,
-    manifest)."""
+    manifest).  Duplicate term rows (block-split fragments) are merged,
+    never overwritten — overwriting silently drops postings."""
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     payloads: dict[int, bytes] = {}
     max_w: dict[int, float] = {}
+    frags: dict[int, list[bytes]] = {}
     for i, shard in enumerate(manifest["shards"]):
         if shard_ids is not None and i not in shard_ids:
             continue
@@ -180,8 +204,15 @@ def load_shards(index_dir: str, docs_codec, freqs_codec,
         mws = t.column("max_weight").to_numpy()
         pls = t.column("payload").to_pylist()
         for tid, mw, pl in zip(tids, mws, pls):
-            payloads[int(tid)] = pl
-            max_w[int(tid)] = float(mw)
+            tid = int(tid)
+            if tid in payloads:
+                frags.setdefault(tid, [payloads[tid]]).append(pl)
+                max_w[tid] = max(max_w[tid], float(mw))
+            else:
+                payloads[tid] = pl
+                max_w[tid] = float(mw)
+    for tid, pls in frags.items():
+        payloads[tid] = merge_fragment_payloads(pls, docs_codec, freqs_codec)
     idx = InvertedIndex(manifest["num_docs"], payloads, docs_codec, freqs_codec)
     return idx, max_w, manifest
 

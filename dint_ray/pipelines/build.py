@@ -451,16 +451,16 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     lists_ds = rd.read_parquet(lists_dir)
     t = _tick("posting_lists", t)
 
-    # --- stage 4: doc sizes ---
+    # --- stage 4: doc sizes (written SORTED by doc_id with bounded row
+    # groups so bucket owners / segment encoders can range-read their
+    # slice — index/docstats.py; the driver holds O(row_group), not
+    # O(num_docs)) ---
+    from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
+
     sizes_path = os.path.join(out_dir, "sizes.parquet")
     if not os.path.exists(sizes_path):
-        sz = doc_sizes(rows_ds).to_pandas()
-        tmp = sizes_path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(sz, preserve_index=False), tmp)
-        os.replace(tmp, sizes_path)
-    sz = pq.read_table(sizes_path)
-    sizes = np.zeros(num_docs, dtype=np.uint32)
-    sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = sz.column("len").to_numpy()
+        write_sizes_sorted(doc_sizes(rows_ds), sizes_path)
+    total_len, _ = streaming_len_stats(sizes_path)
     t = _tick("doc_sizes", t)
 
     from dint_ray.index.sequences import SEQ_KINDS
@@ -487,7 +487,18 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         t = _tick("dictionaries", t)
 
     # --- stage 7: encode + shard write ---
-    avg = float(np.asarray(sizes, dtype=np.float64).sum() / num_docs)
+    # exact integer token total / num_docs == the float64 reduction the
+    # oracle uses (both exact below 2^53 total tokens)
+    avg = float(total_len) / num_docs
+    # The classic build encodes WHOLE lists (docs span every bucket),
+    # so its max-weight fusion ships one full norm array via ray.put —
+    # acceptable for this path (the whole-image/broadcast family); the
+    # 10^12-doc route is build_serve_direct, whose segment encoders
+    # range-read only their bucket's rows (index/docstats.py).
+    sz = pq.read_table(sizes_path)
+    sizes = np.zeros(num_docs, dtype=np.uint32)
+    sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = \
+        sz.column("len").to_numpy()
     norm_lens = (sizes.astype(np.float32) / np.float32(avg)).astype(np.float32)
     dicts_ref = ray.put(dicts)
     norms_ref = ray.put(norm_lens)

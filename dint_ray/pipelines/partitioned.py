@@ -82,25 +82,26 @@ def build_serve_partitions(index_dir: str, num_buckets: int,
         manifest = json.load(f)
     num_docs = int(manifest["num_docs"])
     width = (num_docs + num_buckets - 1) // num_buckets
-
-    sz = pq.read_table(os.path.join(index_dir, "sizes.parquet"))
-    sizes = np.zeros(num_docs, dtype=np.uint32)
-    sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = \
-        sz.column("len").to_numpy()
-    avg = float(np.asarray(sizes, dtype=np.float64).sum()) / num_docs
-    norm_lens = (sizes.astype(np.float32) / np.float32(avg)).astype(np.float32)
+    avg = float(manifest["avg_doc_len"])
+    sizes_path = os.path.join(index_dir, "sizes.parquet")
 
     dicts = load_codec_bundle(index_dir, manifest["dict_kind"])
     dicts_ref = ray.put(dicts)
-    norms_ref = ray.put(norm_lens)
 
     class SplitEncode:
+        """Splits whole lists into bucket segments.  Doc norms are
+        range-read per bucket (index/docstats.py) with the loop
+        bucket-OUTER so one slice serves every list in the batch —
+        resident doc stats are O(slice), never O(num_docs)."""
+
         def __init__(self):
+            from dint_ray.index.docstats import DocStats
             from dint_ray.scoring import doc_term_weight
 
             d = ray.get(dicts_ref)
             self.docs_codec, self.freqs_codec = d.codecs()
-            self.norms = ray.get(norms_ref)
+            self.stats = DocStats(sizes_path, num_docs, avg,
+                                  cache_slices=2)
             self._dtw = doc_term_weight
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -108,26 +109,32 @@ def build_serve_partitions(index_dir: str, num_buckets: int,
             from dint_ray.util import list_views
 
             tids = batch.column("term_id").to_numpy()
-            docs_views = list_views(batch.column("docs"))
-            freqs_views = list_views(batch.column("freqs"))
+            docs_views = [np.ascontiguousarray(v, dtype=np.uint32)
+                          for v in list_views(batch.column("docs"))]
+            freqs_views = [np.ascontiguousarray(v, dtype=np.uint32)
+                          for v in list_views(batch.column("freqs"))]
+            edges = np.arange(width, num_docs, width, dtype=np.uint32)
+            all_cuts = [np.concatenate(
+                ([0], np.searchsorted(d, edges), [len(d)]))
+                for d in docs_views]
             o_bucket, o_tid, o_df, o_mw, o_pl = [], [], [], [], []
-            for tid, docs, freqs in zip(tids, docs_views, freqs_views):
-                docs = np.ascontiguousarray(docs, dtype=np.uint32)
-                freqs = np.ascontiguousarray(freqs, dtype=np.uint32)
-                edges = np.arange(width, num_docs, width, dtype=np.uint32)
-                cuts = np.concatenate(
-                    ([0], np.searchsorted(docs, edges), [len(docs)]))
-                for b in range(len(cuts) - 1):
+            for b in range(num_buckets):
+                base = b * width
+                hi_doc = min(base + width, num_docs)
+                norms = None
+                for tid, docs, freqs, cuts in zip(tids, docs_views,
+                                                  freqs_views, all_cuts):
                     lo_i, hi_i = int(cuts[b]), int(cuts[b + 1])
                     if hi_i == lo_i:
                         continue
-                    seg_d = docs[lo_i:hi_i]
+                    if norms is None:
+                        norms = self.stats.range_norms32(base, hi_doc)
                     seg_f = freqs[lo_i:hi_i]
-                    base = b * width
-                    rel = (seg_d - np.uint32(base)).astype(np.uint32)
+                    rel = (docs[lo_i:hi_i] - np.uint32(base)) \
+                        .astype(np.uint32)
                     pl = write_posting_list(rel, seg_f, self.docs_codec,
                                             self.freqs_codec)
-                    w = self._dtw(seg_f, self.norms[seg_d])
+                    w = self._dtw(seg_f, norms[rel])
                     o_bucket.append(b)
                     o_tid.append(int(tid))
                     o_df.append(hi_i - lo_i)
@@ -188,20 +195,24 @@ def _segment_rows_block(batch: pa.Table, *, width: int) -> pa.Table:
 class _EncodeSegments:
     """Actor-pool encode of (bucket, term) segments: DINT payload over
     the RELATIVE docids + the segment-local max BM25 weight.  Norms are
-    broadcast whole here (sandbox scale); the 10^12-doc refinement is a
-    per-bucket norm slice read from sizes.parquet with a doc_id range
-    filter — the layout already keys every batch by bucket."""
+    range-read per bucket from the sorted sizes.parquet
+    (index/docstats.py) — the layout keys every batch by bucket, so the
+    small LRU slice cache makes this one read per (actor, bucket);
+    resident doc stats are O(slice), never O(num_docs)."""
 
-    def __init__(self, dicts_ref, norms_ref, width: int) -> None:
+    def __init__(self, sizes_path: str, dicts_ref, width: int,
+                 num_docs: int, avg: float) -> None:
         import ray
 
+        from dint_ray.index.docstats import DocStats
         from dint_ray.scoring import doc_term_weight
 
         d = ray.get(dicts_ref)
         self.docs_codec, self.freqs_codec = d.codecs()
-        self.norms = ray.get(norms_ref)
+        self.stats = DocStats(sizes_path, num_docs, avg, cache_slices=4)
         self._dtw = doc_term_weight
         self._width = int(width)
+        self._num_docs = int(num_docs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from dint_ray.index.layout import write_posting_list
@@ -219,7 +230,9 @@ class _EncodeSegments:
                                            self.freqs_codec))
             o_df.append(len(rel))
             base = int(b) * self._width
-            w = self._dtw(freqs, self.norms[rel.astype(np.int64) + base])
+            norms = self.stats.range_norms32(
+                base, min(base + self._width, self._num_docs))
+            w = self._dtw(freqs, norms[rel.astype(np.int64)])
             o_mw.append(float(w.max()))
         return pa.table({
             "bucket": pa.array(buckets.astype(np.int32), pa.int32()),
@@ -302,18 +315,13 @@ def build_serve_direct(pages_path: str, out_dir: str,
                        tmp)
         os.replace(tmp, vocab_path)
 
+    from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
+
     sizes_path = os.path.join(out_dir, "sizes.parquet")
     if not os.path.exists(sizes_path):
-        sz = doc_sizes(rows_ds).to_pandas()
-        tmp = sizes_path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(sz, preserve_index=False), tmp)
-        os.replace(tmp, sizes_path)
-    sz = pq.read_table(sizes_path)
-    sizes = np.zeros(num_docs, dtype=np.uint32)
-    sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = \
-        sz.column("len").to_numpy()
-    avg = float(np.asarray(sizes, dtype=np.float64).sum()) / num_docs
-    norm_lens = (sizes.astype(np.float32) / np.float32(avg)).astype(np.float32)
+        write_sizes_sorted(doc_sizes(rows_ds), sizes_path)
+    total_len, _ = streaming_len_stats(sizes_path)
+    avg = float(total_len) / num_docs
 
     # ONE exchange: (bucket, term) co-location, vectorized segment slice
     segs_dir = os.path.join(out_dir, "segments")
@@ -358,11 +366,10 @@ def build_serve_direct(pages_path: str, out_dir: str,
 
     os.makedirs(serve_dir, exist_ok=True)
     dicts_ref = ray.put(dicts)
-    norms_ref = ray.put(norm_lens)
     (segs_ds.map_batches(
         _EncodeSegments, fn_constructor_kwargs={
-            "dicts_ref": dicts_ref, "norms_ref": norms_ref,
-            "width": width},
+            "sizes_path": sizes_path, "dicts_ref": dicts_ref,
+            "width": width, "num_docs": num_docs, "avg": avg},
         batch_format="pyarrow",
         batch_size=bcfg.encode_batch_size,
         concurrency=(1, bcfg.pool_size(bcfg.encode_concurrency)),
@@ -451,16 +458,21 @@ class PartitionScorer:
         self.base = bucket * width
         hi = min(self.base + width, self.num_docs)
 
-        # bucket-local doc stats, global df
-        sz = pq.read_table(os.path.join(index_dir, "sizes.parquet"))
-        sizes = np.zeros(self.num_docs, dtype=np.uint32)
-        sizes[sz.column("doc_id").to_numpy().astype(np.int64)] = \
-            sz.column("len").to_numpy()
-        self.sizes_all_sum = float(np.asarray(sizes, np.float64).sum())
-        local_sizes = sizes[self.base:hi]
-        avg32 = np.float32(self.sizes_all_sum / self.num_docs)
+        # bucket-local doc stats via a RANGE read of the sorted
+        # sizes.parquet (index/docstats.py) — an owner's resident
+        # doc-stat arrays are O(bucket), never O(num_docs); the global
+        # average comes from the manifest (same float64 value the
+        # build computed).  Mirrors wand_data.hpp:17-63, which mmaps
+        # one image instead of heap-copying it per thread.
+        from dint_ray.index.docstats import DocStats
+
+        avg64 = float(manifest["avg_doc_len"])
+        self.avg = avg64
+        stats = DocStats(os.path.join(index_dir, "sizes.parquet"),
+                         self.num_docs, avg64, cache_slices=1)
+        local_sizes = stats.range_lens(self.base, hi)
+        avg32 = np.float32(avg64)
         n32 = (local_sizes.astype(np.float32) / avg32).astype(np.float32)
-        avg64 = self.sizes_all_sum / self.num_docs
         n64 = local_sizes.astype(np.float64) / avg64
         self.local_sizes = local_sizes
 
@@ -474,6 +486,7 @@ class PartitionScorer:
             load_codec_bundle(index_dir, manifest["dict_kind"]).codecs()
 
         from dint_ray.index.layout import PostingListView
+        from dint_ray.index.shards import merge_fragment_payloads
 
         files = sorted(glob.glob(
             os.path.join(serve_dir, f"bucket={bucket}", "*.parquet")))
@@ -481,6 +494,33 @@ class PartitionScorer:
         self._profile: dict[int, int] = {}
         self._busy = 0.0
         self.df_global = df_global
+
+        # One dedup-merging load pass shared by both storage modes.
+        # Duplicate (bucket, term) rows appear when the executor splits
+        # a hash partition's output into multiple blocks (the per-block
+        # segment kernel emits one row per block); overwriting them
+        # would silently drop postings, so fragments are merged into
+        # one payload here (O(bucket) work, load-time only).
+        rows: dict[int, tuple[float, bytes]] = {}
+        dup: dict[int, list[bytes]] = {}
+        for path in files:
+            t = pq.read_table(path,
+                              columns=["term_id", "max_weight", "payload"])
+            for tid, m, pl in zip(t.column("term_id").to_numpy(),
+                                  t.column("max_weight").to_numpy(),
+                                  t.column("payload").to_pylist()):
+                tid = int(tid)
+                prev = rows.get(tid)
+                if prev is None:
+                    rows[tid] = (float(m), pl)
+                else:
+                    dup.setdefault(tid, [prev[1]]).append(pl)
+                    rows[tid] = (max(prev[0], float(m)), prev[1])
+        for tid, pls in dup.items():
+            rows[tid] = (rows[tid][0],
+                         merge_fragment_payloads(pls, docs_codec,
+                                                 freqs_codec))
+
         if storage == "compressed":
             if manifest["dict_kind"] != "single_packed":
                 raise ValueError(
@@ -491,16 +531,11 @@ class PartitionScorer:
             bufs: list[bytes] = []
             slot_of: dict[int, int] = {}
             lens = []
-            for path in files:
-                t = pq.read_table(path)
-                tids = t.column("term_id").to_numpy()
-                mws = t.column("max_weight").to_numpy()
-                pls = t.column("payload").to_pylist()
-                for tid, m, pl in zip(tids, mws, pls):
-                    slot_of[int(tid)] = len(bufs)
-                    mw[int(tid)] = m
-                    bufs.append(pl)
-                    lens.append(len(pl))
+            for tid, (m, pl) in rows.items():
+                slot_of[tid] = len(bufs)
+                mw[tid] = m
+                bufs.append(pl)
+                lens.append(len(pl))
             # one contiguous buffer (+8B guard for the C bit reader's
             # whole-byte loads at a stream's very end)
             self._payload_buf = np.frombuffer(
@@ -523,24 +558,18 @@ class PartitionScorer:
         mw = np.zeros(nterms, dtype=np.float32)
         d_parts, f_parts, w_parts = [], [], []
         off = 0
-        for path in files:
-            t = pq.read_table(path)
-            tids = t.column("term_id").to_numpy()
-            mws = t.column("max_weight").to_numpy()
-            pls = t.column("payload").to_pylist()
-            for tid, m, pl in zip(tids, mws, pls):
-                v = PostingListView(pl, docs_codec, freqs_codec)
-                rel, freqs = v.decode_all()
-                docs = rel.astype(np.uint32) + np.uint32(self.base)
-                w = doc_term_weight(freqs, n32[rel])
-                tid = int(tid)
-                starts[tid] = off
-                ends[tid] = off + len(docs)
-                mw[tid] = m
-                d_parts.append(docs)
-                f_parts.append(freqs)
-                w_parts.append(w)
-                off += len(docs)
+        for tid, (m, pl) in rows.items():
+            v = PostingListView(pl, docs_codec, freqs_codec)
+            rel, freqs = v.decode_all()
+            docs = rel.astype(np.uint32) + np.uint32(self.base)
+            w = doc_term_weight(freqs, n32[rel])
+            starts[tid] = off
+            ends[tid] = off + len(docs)
+            mw[tid] = m
+            d_parts.append(docs)
+            f_parts.append(freqs)
+            w_parts.append(w)
+            off += len(docs)
         e32 = np.empty(0, np.uint32)
         ef = np.empty(0, np.float32)
         self.index = SharedScoredIndex(
@@ -698,7 +727,7 @@ class PartitionScorer:
         from dint_ray.queries.algorithms import query_freqs
 
         N = np.float64(self.num_docs)
-        avg = np.float64(self.sizes_all_sum / self.num_docs)
+        avg = np.float64(self.avg)
         out = []
         for qid, terms in zip(qids, terms_list):
             acc: dict[int, int] = {}

@@ -198,12 +198,28 @@ def _build_shared_index(index_dir: str):
                 f_out.append(freqs)
                 w_out.append(doc_term_weight(freqs, self.norms[docs]))
             e32 = np.empty(0, np.uint32)
+            if not t_out:
+                return pa.table({
+                    "term_id": pa.array(e32, pa.uint32()),
+                    "doc_id": pa.array(e32, pa.uint32()),
+                    "tf": pa.array(e32, pa.uint32()),
+                    "w32": pa.array(np.empty(0, np.float32), pa.float32()),
+                })
+            tids_f = np.concatenate(t_out)
+            docs_f = np.concatenate(d_out)
+            freqs_f = np.concatenate(f_out)
+            w_f = np.concatenate(w_out)
+            # duplicate term rows in one batch (block-split fragments)
+            # would otherwise form one contiguous run with UNSORTED
+            # docs; a (term, doc) lexsort makes every run cursor-valid
+            order = np.lexsort((docs_f, tids_f))
             return pa.table({
-                "term_id": pa.array(np.concatenate(t_out) if t_out else e32, pa.uint32()),
-                "doc_id": pa.array(np.concatenate(d_out) if d_out else e32, pa.uint32()),
-                "tf": pa.array(np.concatenate(f_out) if f_out else e32, pa.uint32()),
-                "w32": pa.array(np.concatenate(w_out) if w_out else
-                                np.empty(0, np.float32), pa.float32()),
+                "term_id": pa.array(tids_f[order], pa.uint32()),
+                "doc_id": pa.array(docs_f[order].astype(np.uint32),
+                                   pa.uint32()),
+                "tf": pa.array(freqs_f[order].astype(np.uint32),
+                               pa.uint32()),
+                "w32": pa.array(w_f[order], pa.float32()),
             })
 
     from dint_ray.index.shards import shard_files as _sf
@@ -222,6 +238,7 @@ def _build_shared_index(index_dir: str):
     # row, so its decoded postings form one contiguous run; blocks may
     # coalesce several (individually sorted) batches, so global term
     # order across a block is NOT guaranteed — only run contiguity is
+    needs_rebuild = False
     for t in tabs:
         tid = t.column("term_id").to_numpy()
         change = np.flatnonzero(np.diff(tid.astype(np.int64))) + 1
@@ -229,25 +246,47 @@ def _build_shared_index(index_dir: str):
         e_idx = np.concatenate((change, [len(tid)]))
         run_terms = tid[s_idx].astype(np.int64)
         fresh = starts[run_terms] == -1
-        starts[run_terms[fresh]] = off + s_idx[fresh]
         # a term split across consecutive blocks (block splitting of a
-        # big row) just extends its end
+        # big row) just extends its end; a NON-contiguous repeat means
+        # duplicate list rows (hash-partition output split into blocks
+        # upstream) — the run arithmetic can't represent that, so fall
+        # back to a global lexsort rebuild below
+        if not (fresh | (ends[run_terms] == off + s_idx)).all():
+            needs_rebuild = True
+        starts[run_terms[fresh]] = off + s_idx[fresh]
         ends[run_terms] = off + e_idx
         docs_parts.append(t.column("doc_id").to_numpy())
         freqs_parts.append(t.column("tf").to_numpy())
         w_parts.append(t.column("w32").to_numpy())
         off += len(tid)
+    docs_all = np.concatenate(docs_parts)
+    freqs_all = np.concatenate(freqs_parts)
+    w_all = np.concatenate(w_parts)
+    if needs_rebuild:
+        tid_all = np.concatenate(
+            [t.column("term_id").to_numpy() for t in tabs]).astype(np.int64)
+        order = np.lexsort((docs_all, tid_all))
+        tid_all = tid_all[order]
+        docs_all, freqs_all, w_all = \
+            docs_all[order], freqs_all[order], w_all[order]
+        starts.fill(-1)
+        ends.fill(0)
+        change = np.flatnonzero(np.diff(tid_all)) + 1
+        s_idx = np.concatenate(([0], change))
+        e_idx = np.concatenate((change, [len(tid_all)]))
+        starts[tid_all[s_idx]] = s_idx
+        ends[tid_all[s_idx]] = e_idx
     idx = SharedScoredIndex(manifest["num_docs"], starts, ends,
-                            np.concatenate(docs_parts),
-                            np.concatenate(freqs_parts),
-                            np.concatenate(w_parts))
+                            docs_all, freqs_all, w_all)
 
     mw = np.zeros(manifest["num_terms"], dtype=np.float32)
     for shard_tbl in (pq.read_table(f, columns=["term_id", "max_weight"])
                       for f in shard_files):
         t = shard_tbl.column("term_id").to_numpy()
         w = shard_tbl.column("max_weight").to_numpy()
-        mw[t] = w
+        # duplicate term rows: keep the max (overwrite would understate
+        # another fragment's bound)
+        np.maximum.at(mw, t, w)
     wand = WandData(norm_lens, mw, sizes=sizes)
     return idx, wand, manifest
 
@@ -325,15 +364,26 @@ def run_queries_ray(queries_ds, index_dir: str, algo: str = "wand",
         # bucket count is a memory decision (fixed by index size);
         # scale throughput with the cluster via replicas + routers.
         # A direct-built index (build_serve_direct) fixed its bucket
-        # count at build time — the manifest records it.
-        if num_buckets is None:
-            try:
-                with open(os.path.join(index_dir, "manifest.json")) as f:
-                    m = json.load(f)
-                if m.get("build_mode") == "serve_direct":
-                    num_buckets = int(m["num_buckets"])
-            except (OSError, KeyError, ValueError):
-                pass
+        # count at build time — the manifest records it, and the index
+        # CANNOT be re-bucketed (the direct build never wrote the
+        # whole-list postings checkpoint build_serve_partitions needs),
+        # so a mismatched explicit request fails loudly here instead of
+        # producing an opaque missing-checkpoint error downstream.
+        try:
+            with open(os.path.join(index_dir, "manifest.json")) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            m = {}
+        if m.get("build_mode") == "serve_direct":
+            built_buckets = int(m["num_buckets"])
+            if num_buckets is not None and num_buckets != built_buckets:
+                raise ValueError(
+                    f"index at {index_dir} was direct-built with "
+                    f"num_buckets={built_buckets} and cannot serve with "
+                    f"num_buckets={num_buckets}; rebuild with "
+                    f"build_serve_direct(num_buckets={num_buckets}) or "
+                    f"drop the explicit bucket count")
+            num_buckets = built_buckets
         buckets = num_buckets or min(8, max(2, concurrency // 2))
         replicas = max(1, concurrency // (2 * buckets))
         return run_queries_routed(

@@ -23,6 +23,7 @@ import pyarrow as pa
 
 _TAG = re.compile(rb"<[^>]*>")
 _TOKEN = re.compile(r"[a-z0-9]+")
+_FALLBACK_WARNED = False
 
 
 def extract_text(html: bytes) -> str:
@@ -60,6 +61,19 @@ class Tokenizer:
         try:
             return self._tokenize_arrow(ids, texts)
         except (pa.ArrowNotImplementedError, AttributeError):
+            # The Python fallback differs from the Arrow kernel on
+            # Unicode case-folding edges (e.g. 'İ'), which would break
+            # the DuckDB lower() oracle contract silently on old
+            # pyarrow — warn once per worker so the build signals it.
+            global _FALLBACK_WARNED
+            if not _FALLBACK_WARNED:
+                _FALLBACK_WARNED = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pyarrow tokenizer kernel unavailable; falling back "
+                    "to the Python tokenizer (case-folding edge cases "
+                    "may differ from pc.utf8_lower)")
             return self._tokenize_python(ids, texts.to_pylist())
 
     def _tokenize_arrow(self, ids: np.ndarray, texts) -> pa.Table:
