@@ -53,6 +53,13 @@ class BuildConfig:
     # (salted iff max df > chunk_df_threshold)
     merge_strategy: str = "auto"
     chunk_df_threshold: int = 4_000_000
+    # vocabulary handling: "driver" broadcasts a term->id dict per
+    # actor (fast below ~10^7 terms); "dataset" keeps the vocabulary a
+    # Dataset and assigns ids via a distributed hash join on term (the
+    # 10^12-doc path — no O(num_terms) driver/actor state); "auto"
+    # picks dataset when the df-partial row count exceeds the threshold
+    vocab_mode: str = "auto"
+    vocab_dataset_threshold: int = 5_000_000
     # actor pools; concurrency 0 = size to the cluster (one per CPU)
     encode_batch_size: int = 64
     encode_concurrency: int = 0

@@ -542,6 +542,19 @@ def q_vocabulary(sf_dir: str):
     })
 
 
+def q_vocabulary_ds(sf_dir: str):
+    """The >threshold vocabulary path FORCED ON: the term table stays a
+    Dataset (distributed rank by (df desc, term asc)); must be
+    value-identical to the driver vocabulary (same oracle SQL)."""
+    from dint_ray.postings import build_vocabulary_ds, tokenize_rows
+
+    vds = build_vocabulary_ds(tokenize_rows(_docs_ds(sf_dir)))
+    return vds.map_batches(
+        _cast_cols({"term": pa.string(), "df": pa.int64(),
+                    "term_id": pa.int64()}),
+        batch_format="pyarrow")
+
+
 def _explode_lists(batch: pa.Table) -> pa.Table:
     tids, docs, tfs = [], [], []
     tcol = batch.column("term_id")
@@ -576,6 +589,18 @@ def q_posting_lists(sf_dir: str):
     cfg = BuildConfig(salt_df_threshold=64, salt_bucket_docs=128,
                       merge_strategy="salted")
     lists = build_posting_lists(rows, vocab, cfg)
+    return lists.map_batches(_explode_lists, batch_format="pyarrow")
+
+
+def q_posting_lists_joined(sf_dir: str):
+    """Posting lists via the vocabulary-as-Dataset hash join FORCED ON
+    (no driver id map, one keyed exchange fused with the merge) —
+    flattened to rows; same oracle as posting_lists."""
+    from dint_ray.postings import (build_posting_lists_joined,
+                                   build_vocabulary_ds, tokenize_rows)
+
+    rows = tokenize_rows(_docs_ds(sf_dir)).materialize()
+    lists = build_posting_lists_joined(rows, build_vocabulary_ds(rows))
     return lists.map_batches(_explode_lists, batch_format="pyarrow")
 
 
@@ -1109,7 +1134,9 @@ def registry():
         "tokenize_postings": (q_tokenize, SQL_TOKENIZE),
         "doc_sizes": (q_doc_sizes, SQL_DOC_SIZES),
         "vocabulary": (q_vocabulary, SQL_VOCABULARY),
+        "vocabulary_ds": (q_vocabulary_ds, SQL_VOCABULARY),
         "posting_lists": (q_posting_lists, SQL_POSTING_LISTS),
+        "posting_lists_joined": (q_posting_lists_joined, SQL_POSTING_LISTS),
         "index_roundtrip_single": (
             lambda sf: q_index_roundtrip(sf, "single_packed"), SQL_POSTING_LISTS),
         "index_roundtrip_multi": (

@@ -430,23 +430,54 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     rows_ds = rd.read_parquet(rows_dir)
     t = _tick("tokenize", t)
 
-    # --- stage 2: vocabulary ---
+    # --- stage 2: vocabulary (driver dict below the term threshold,
+    # Dataset + hash join above it — the driver never holds the term
+    # table on the join path) ---
+    from dint_ray.postings import (build_posting_lists_joined,
+                                   build_vocabulary_ds, df_partials,
+                                   max_df_of_vocab, write_vocab_parquet)
+
     vocab_path = os.path.join(out_dir, "vocab.parquet")
-    if os.path.exists(vocab_path):
-        vocab = Vocabulary(terms=pq.read_table(vocab_path).to_pandas())
-    else:
-        vocab = build_vocabulary(rows_ds)
-        tmp = vocab_path + ".tmp"
-        pq.write_table(pa.Table.from_pandas(vocab.terms, preserve_index=False), tmp)
-        os.replace(tmp, vocab_path)
+    use_join = bcfg.vocab_mode == "dataset"
+    if not os.path.exists(vocab_path):
+        partial = df_partials(rows_ds)
+        if bcfg.vocab_mode == "auto":
+            use_join = partial.count() > bcfg.vocab_dataset_threshold
+        if use_join:
+            write_vocab_parquet(build_vocabulary_ds(rows_ds, partial),
+                                vocab_path)
+        else:
+            vocab = build_vocabulary(rows_ds, partial)
+            tmp = vocab_path + ".tmp"
+            pq.write_table(
+                pa.Table.from_pandas(vocab.terms, preserve_index=False), tmp)
+            os.replace(tmp, vocab_path)
+    elif bcfg.vocab_mode == "auto":
+        use_join = pq.read_metadata(vocab_path).num_rows > \
+            bcfg.vocab_dataset_threshold
+    num_terms = pq.read_metadata(vocab_path).num_rows
     t = _tick("vocabulary", t)
 
-    # --- stage 3: posting lists (salted groupby) ---
+    # --- stage 3: posting lists (salted groupby / fused join-merge) ---
     lists_dir = os.path.join(out_dir, "postings")
     if not _done(lists_dir):
         os.makedirs(lists_dir, exist_ok=True)
-        build_posting_lists(rows_ds, vocab, bcfg,
-                            num_docs=num_docs).write_parquet(lists_dir)
+        if use_join:
+            if max_df_of_vocab(vocab_path) > bcfg.chunk_df_threshold:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "vocabulary join path merges each term in one task; "
+                    "the head df exceeds chunk_df_threshold=%d — combine "
+                    "with doc-range salting if a merge task OOMs",
+                    bcfg.chunk_df_threshold)
+            lists = build_posting_lists_joined(
+                rows_ds, rd.read_parquet(vocab_path), bcfg)
+        else:
+            vocab = Vocabulary(terms=pq.read_table(vocab_path).to_pandas())
+            lists = build_posting_lists(rows_ds, vocab, bcfg,
+                                        num_docs=num_docs)
+        lists.write_parquet(lists_dir)
         _mark_done(lists_dir)
     lists_ds = rd.read_parquet(lists_dir)
     t = _tick("posting_lists", t)
@@ -546,7 +577,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     write_manifest(
         out_dir,
         num_docs=num_docs,
-        num_terms=vocab.size,
+        num_terms=num_terms,
         avg_doc_len=avg,
         dict_kind=kind,
         shards=shards,

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from dint_ray.config import BuildConfig
 from dint_ray.tokenize import Tokenizer, tokens
@@ -136,21 +137,97 @@ def _sum_by_key(ds, key: str, val: str, out: str, key_type: pa.DataType,
                          batch_size=None, num_cpus=1))
 
 
-def build_vocabulary(rows_ds) -> Vocabulary:
+def df_partials(rows_ds):
+    """Map-side-combined per-block df counts (<= one row per (term,
+    block)); shared by the driver and Dataset vocabulary builders."""
+    return rows_ds.map_batches(_partial_df, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+
+def build_vocabulary(rows_ds, partial=None) -> Vocabulary:
     """groupby(term) shuffle over per-batch partials -> driver vocabulary.
 
     Scale note: the shuffle input is <= one row per (term, batch) — the
     partial-aggregation pattern from SURVEY.md §2.7 A1.  The final
-    vocabulary (term, df, term_id) is small enough to broadcast; at
-    10^12-doc scale this would instead stay a Dataset and term_ids
-    would be joined back via a hash-partitioned join on `term`.
+    vocabulary (term, df, term_id) is small enough to broadcast below
+    cfg.vocab_dataset_threshold; above it, build_vocabulary_ds keeps
+    the vocabulary a Dataset end to end.
     """
-    partial = rows_ds.map_batches(_partial_df, batch_format="pyarrow",
-                              batch_size=None).materialize()
+    if partial is None:
+        partial = df_partials(rows_ds)
     res = _sum_by_key(partial, "term", "df_part", "df", pa.string())
     pdf = res.to_pandas()
     pdf["df"] = pdf["df"].astype(np.int64)
     return make_vocabulary(pdf[["term", "df"]])
+
+
+def build_vocabulary_ds(rows_ds, partial=None):
+    """Distributed vocabulary: (term, df, term_id) Dataset — the driver
+    never materializes the term table (VERDICT r2 item 2; the web-scale
+    term universe does not fit one heap).
+
+    term_id = dense rank by (df desc, term asc), IDENTICAL to
+    make_vocabulary's ordering: a distributed sort range-partitions the
+    unique (term, df) rows into ordered blocks; each block's rank
+    offset is the cumulative row count of its predecessors, so ids are
+    assigned per block with no driver pass (driver holds refs + one
+    int per block)."""
+    import ray
+    import ray.data as rd
+
+    if partial is None:
+        partial = df_partials(rows_ds)
+    agg = _sum_by_key(partial, "term", "df_part", "df", pa.string(),
+                      driver_limit=0)  # force the distributed branch
+    vds = agg.sort(["df", "term"], descending=[True, False]).materialize()
+    refs = vds.to_arrow_refs()
+
+    nrows = ray.remote(num_cpus=0)(lambda t: t.num_rows)
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+
+    def _with_ids(t: pa.Table, off: int) -> pa.Table:
+        tid = np.arange(off, off + t.num_rows, dtype=np.uint32)
+        return t.select(["term", "df"]).append_column(
+            "term_id", pa.array(tid, pa.uint32()))
+
+    with_ids = ray.remote(num_cpus=0.25)(_with_ids)
+    out = [with_ids.remote(r, int(o)) for r, o in zip(refs, offs[:-1])]
+    return rd.from_arrow_refs(out)
+
+
+def write_vocab_parquet(vds, path: str, row_group_size: int = 1 << 20) -> None:
+    """Stream a vocabulary Dataset into the vocab.parquet artifact —
+    driver memory O(row_group).  (At a true 10^9+-term scale this
+    artifact becomes a sharded directory; every in-repo reader already
+    goes through pyarrow, which reads both shapes.)"""
+    import os
+
+    tmp = path + ".tmp"
+    writer = None
+    for b in vds.iter_batches(batch_size=row_group_size,
+                              batch_format="pyarrow"):
+        if writer is None:
+            writer = pq.ParquetWriter(tmp, b.schema)
+        writer.write_table(b, row_group_size=row_group_size)
+    if writer is None:
+        pq.write_table(pa.table({"term": pa.array([], pa.string()),
+                                 "df": pa.array([], pa.int64()),
+                                 "term_id": pa.array([], pa.uint32())}), tmp)
+    else:
+        writer.close()
+    os.replace(tmp, path)
+
+
+def max_df_of_vocab(path: str) -> int:
+    """Head df from the vocab artifact without reading it whole: rows
+    are sorted by (df desc, term asc), so it's the first row of the
+    first row group."""
+    pf = pq.ParquetFile(path)
+    if pf.metadata.num_rows == 0:
+        return 0
+    col = pf.read_row_group(0, columns=["df"]).column("df")
+    return int(col[0].as_py())
 
 
 class AssignTermId:
@@ -288,6 +365,244 @@ def _merge_runs_block(batch: pa.Table) -> pa.Table:
     return _lists_by_key([term_flat, docs_flat],
                          {"docs": docs_flat, "freqs": freqs_flat},
                          {"term_id": term_flat})
+
+
+# --------------------------------------------------------------------------
+# vocabulary-as-Dataset term-id assignment (distributed hash join)
+# --------------------------------------------------------------------------
+#
+# Above cfg.vocab_dataset_threshold terms, the broadcast id map
+# (AssignTermId) would be the build's memory ceiling.  This path keeps
+# the vocabulary a Dataset and assigns ids with ONE keyed exchange,
+# fused with the posting-list merge:
+#
+#   rows -> per-block fragment rows (term, docs, freqs)   [no exchange]
+#        ∪  vocabulary rows (term, term_id)
+#        -> repartition(keys=[term])  -> per-block kernel:
+#             merge fragments per term, attach term_id    [hits]
+#             fragments whose vocab row landed in a DIFFERENT block of
+#             the same partition (executor block split)   [misses]
+#   misses loop back (they are list rows, so each round shrinks a
+#   term's row count to its previous block count — convergence in <= 2
+#   extra rounds in practice); residual same-term duplicates across
+#   blocks are merged by the loaders (index/shards.py
+#   merge_fragment_payloads).
+
+_FRAG_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("docs", pa.list_(pa.uint32())),
+    ("freqs", pa.list_(pa.uint32())),
+])
+
+_JOIN_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("term_id", pa.uint32()),
+    ("docs", pa.list_(pa.uint32())),
+    ("freqs", pa.list_(pa.uint32())),
+    ("kind", pa.int8()),
+])
+
+
+def _empty_lists(n: int) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+        pa.array([], pa.uint32()))
+
+
+def _lists_by_code(codes: np.ndarray, doc: np.ndarray, tf: np.ndarray,
+                   dictionary: pa.Array):
+    """(term string, docs, freqs) list rows grouped by dictionary code,
+    docs sorted within each term — one lexsort, no per-group Python."""
+    order = np.lexsort((doc, codes))
+    codes_s, doc_s, tf_s = codes[order], doc[order], tf[order]
+    change = np.zeros(len(codes_s), dtype=bool)
+    change[0] = True
+    change[1:] = codes_s[1:] != codes_s[:-1]
+    starts = np.flatnonzero(change)
+    offsets = np.append(starts, len(codes_s)).astype(np.int32)
+    terms = dictionary.take(pa.array(codes_s[starts].astype(np.int32)))
+    off_arr = pa.array(offsets, pa.int32())
+    docs_col = pa.ListArray.from_arrays(
+        off_arr, pa.array(doc_s.astype(np.uint32), pa.uint32()))
+    freqs_col = pa.ListArray.from_arrays(
+        off_arr, pa.array(tf_s.astype(np.uint32), pa.uint32()))
+    return terms, docs_col, freqs_col
+
+
+def _frag_rows_block(batch: pa.Table) -> pa.Table:
+    """Map-side combine: one block of (doc_id, term, tf) rows ->
+    per-term FRAGMENT list rows (term, docs, freqs)."""
+    if batch.num_rows == 0:
+        return _FRAG_SCHEMA.empty_table()
+    enc = batch.column("term").combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    terms, docs_col, freqs_col = _lists_by_code(codes, doc, tf,
+                                                enc.dictionary)
+    return pa.table({"term": terms, "docs": docs_col, "freqs": freqs_col})
+
+
+def _tag_frags(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "term": batch.column("term").cast(pa.string()),
+        "term_id": pa.array(np.zeros(n, np.uint32), pa.uint32()),
+        "docs": batch.column("docs"),
+        "freqs": batch.column("freqs"),
+        "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+    }).cast(_JOIN_SCHEMA)
+
+
+def _tag_vocab(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table({
+        "term": batch.column("term").cast(pa.string()),
+        "term_id": batch.column("term_id").cast(pa.uint32()),
+        "docs": _empty_lists(n),
+        "freqs": _empty_lists(n),
+        "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+    }).cast(_JOIN_SCHEMA)
+
+
+def _flatten_lists(batch: pa.Table, sel: np.ndarray):
+    """Selected fragment rows -> flat (row_idx, doc, tf) arrays."""
+    docs_col = batch.column("docs").combine_chunks()
+    freqs_col = batch.column("freqs").combine_chunks()
+    d_off = docs_col.offsets.to_numpy()
+    f_off = freqs_col.offsets.to_numpy()
+    d_vals = docs_col.values.to_numpy(zero_copy_only=False)
+    f_vals = freqs_col.values.to_numpy(zero_copy_only=False)
+    row_parts, doc_parts, tf_parts = [], [], []
+    for i in sel:
+        lo, hi = int(d_off[i]), int(d_off[i + 1])
+        row_parts.append(np.full(hi - lo, i, np.int64))
+        doc_parts.append(d_vals[lo:hi].astype(np.int64))
+        flo = int(f_off[i])
+        tf_parts.append(f_vals[flo:flo + (hi - lo)].astype(np.int64))
+    if not row_parts:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return (np.concatenate(row_parts), np.concatenate(doc_parts),
+            np.concatenate(tf_parts))
+
+
+def _join_frags_block(batch: pa.Table) -> pa.Table:
+    """One hash partition block of (fragments ∪ vocabulary): merge
+    fragments per term; terms whose vocab row is present get their
+    term_id (hits, miss=false); the rest re-emit as fragments
+    (miss=true) for the next round."""
+    out_schema = pa.schema([
+        ("term_id", pa.uint32()),
+        ("docs", pa.list_(pa.uint32())),
+        ("freqs", pa.list_(pa.uint32())),
+        ("miss_term", pa.string()),
+    ])
+    if batch.num_rows == 0 or "kind" not in batch.column_names:
+        return out_schema.empty_table()
+    kind = batch.column("kind").to_numpy()
+    terms_all = batch.column("term")
+    enc = terms_all.combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tid_col = batch.column("term_id").to_numpy(zero_copy_only=False)
+    # code -> term_id for vocab rows present in THIS block
+    ncodes = len(enc.dictionary)
+    code_tid = np.full(ncodes, -1, dtype=np.int64)
+    vsel = np.flatnonzero(kind == 1)
+    code_tid[codes[vsel]] = tid_col[vsel].astype(np.int64)
+
+    fsel = np.flatnonzero(kind == 0)
+    if not len(fsel):
+        return out_schema.empty_table()
+    row_idx, doc, tf = _flatten_lists(batch, fsel)
+    fcodes = codes[row_idx]
+    _, docs_col, freqs_col = _lists_by_code(fcodes, doc, tf,
+                                            enc.dictionary)
+    # group order out of _lists_by_code is ascending code; recover the
+    # per-group codes the same way to map each output row to its vocab
+    # hit (or miss)
+    order = np.argsort(fcodes, kind="stable")
+    fc_sorted = fcodes[order]
+    change = np.zeros(len(fc_sorted), dtype=bool)
+    if len(fc_sorted):
+        change[0] = True
+        change[1:] = fc_sorted[1:] != fc_sorted[:-1]
+    group_codes = fc_sorted[np.flatnonzero(change)]
+    tids = code_tid[group_codes]
+    hit = tids >= 0
+    miss_terms = pa.array(
+        [enc.dictionary[int(c)].as_py() if not h else None
+         for c, h in zip(group_codes, hit)], pa.string())
+    return pa.table({
+        "term_id": pa.array(np.where(hit, tids, 0).astype(np.uint32),
+                            pa.uint32()),
+        "docs": docs_col,
+        "freqs": freqs_col,
+        "miss_term": miss_terms,
+    })
+
+
+def _take_hits(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    keep = np.flatnonzero(~pc.is_valid(batch.column("miss_term"))
+                          .to_numpy(zero_copy_only=False))
+    t = batch.take(keep) if len(keep) < batch.num_rows else batch
+    return t.select(["term_id", "docs", "freqs"])
+
+
+def _take_misses(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(batch.column("miss_term")) \
+        .to_numpy(zero_copy_only=False)
+    t = batch.take(np.flatnonzero(valid))
+    return pa.table({
+        "term": t.column("miss_term").cast(pa.string()),
+        "docs": t.column("docs"),
+        "freqs": t.column("freqs"),
+    })
+
+
+def build_posting_lists_joined(rows_ds, vocab_ds,
+                               cfg: BuildConfig = BuildConfig(),
+                               max_rounds: int = 4):
+    """(doc_id, term, tf) rows + vocabulary Dataset -> (term_id, docs,
+    freqs) Dataset via a distributed hash join on `term` — no driver id
+    map, no broadcast (the >threshold path named in build_vocabulary).
+
+    Same exchange count as the `single` strategy: the join key (term)
+    co-locates exactly what the merge needs, so id assignment and list
+    merge happen in one kernel.  Executor block splits surface as miss
+    rows, resolved by <= max_rounds shrinking re-join rounds; residual
+    same-term fragment rows (a term whose merged row itself spans
+    blocks) are merged by the index loaders."""
+    _use_hash_shuffle()
+    width = _shuffle_width()
+    vocab_tagged = vocab_ds.map_batches(_tag_vocab, batch_format="pyarrow")
+    frags = rows_ds.map_batches(_frag_rows_block, batch_format="pyarrow",
+                                batch_size=None)
+    hit_parts = []
+    for _ in range(max_rounds):
+        u = (frags.map_batches(_tag_frags, batch_format="pyarrow")
+             .union(vocab_tagged)
+             .repartition(width, keys=["term"], sort=True))
+        joined = u.map_batches(_join_frags_block, batch_format="pyarrow",
+                               batch_size=None).materialize()
+        hit_parts.append(joined.map_batches(_take_hits,
+                                            batch_format="pyarrow"))
+        misses = joined.map_batches(_take_misses, batch_format="pyarrow")
+        if misses.count() == 0:
+            break
+        frags = misses
+    else:
+        raise RuntimeError(
+            "term-id join did not converge within "
+            f"{max_rounds} rounds — raise max_rounds or inspect skew")
+    out = hit_parts[0]
+    for p in hit_parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _use_hash_shuffle() -> None:
