@@ -127,3 +127,54 @@ def test_media_decode_words_match_digest():
             feat, (want.astype(np.float32) / np.float32(2**32)))
         assert r["n_bytes"] == len(text.encode())
         assert r["kind"] == ("image", "audio", "video")[r["media_id"] % 3]
+
+
+def test_exact_dedup_digest_keys_no_text_in_exchange():
+    """The dedup exchange carries digests, not text (VERDICT r2 item 6):
+    the digest stage's output schema has no text column, and crc32
+    collisions are still resolved (len+md5 disambiguate)."""
+    t = pa.table({"doc_id": pa.array([7, 3], pa.int64()),
+                  "text": pa.array(["same text", "same text"], pa.string())})
+    d = dedup._digest_rows(t)
+    assert "text" not in d.column_names
+    assert d.column("md5")[0].as_py() == d.column("md5")[1].as_py()
+    assert d.column("tlen")[0].as_py() == len("same text".encode())
+    texts = ["x" * 40, "y" * 40, "x" * 40, "z"]
+    kept = sorted(r["doc_id"] for r in
+                  dedup.exact_dedup_ds(_docs(texts)).take_all())
+    assert kept == [0, 1, 3]
+
+
+def test_ngram_jaccard_hot_shingle_guard_bounds_pairs():
+    """A shingle shared by every doc must not emit O(n^2) pairs when
+    its df exceeds max_shingle_df; discriminative shingles still pair."""
+    hot = "aaa bbb ccc"                     # shared by ALL docs
+    texts = [f"{hot} unique{i} u{i}x u{i}y u{i}z" for i in range(30)]
+    # make 0/1 true near-dups through non-hot shingles
+    texts[1] = texts[0] + " tail"
+    ds = _docs(texts)
+    guarded = dedup.ngram_jaccard_pairs_ds(
+        ds, threshold=0.3, max_shingle_df=8).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in guarded}
+    assert (0, 1) in pairs
+    # the hot shingle alone may NOT create the all-pairs clique
+    assert len(pairs) < 30 * 29 / 2 / 2
+    # guard off: same corpus, exact semantics (fixture-scale dfs)
+    exact = dedup.ngram_jaccard_pairs_ds(
+        ds, threshold=0.3, max_shingle_df=0).take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in exact} >= pairs
+
+
+def test_ngram_jaccard_guard_above_max_df_is_exact():
+    """With max_shingle_df above the corpus max df the guard must not
+    change a single pair."""
+    texts = ["red green blue yellow purple " * 3,
+             "red green blue yellow purple " * 3 + "orange",
+             "totally different content here " * 4]
+    ds = _docs(texts)
+    a = {(r["doc_a"], r["doc_b"]) for r in
+         dedup.ngram_jaccard_pairs_ds(ds, threshold=0.4).take_all()}
+    b = {(r["doc_a"], r["doc_b"]) for r in
+         dedup.ngram_jaccard_pairs_ds(ds, threshold=0.4,
+                                      max_shingle_df=0).take_all()}
+    assert a == b and (0, 1) in a
