@@ -915,6 +915,34 @@ def q_maxscore_routed(sf_dir: str):
     return _run_routed(sf_dir, "maxscore", "ranked_or")
 
 
+def q_maxscore_routed_compressed(sf_dir: str):
+    """MaxScore over RAW DINT payloads in the bucket owners (lazy
+    per-block C decode, native.maxscore_compressed_query) — extends the
+    compressed fixed-memory serving configuration beyond WAND
+    (VERDICT r3; reference serves every query op over every index
+    type, src/queries.cpp:87-111).  Bit-identity with decoded owners is
+    asserted in tests; the oracle checks the ranked doc triples."""
+    from dint_ray import native as nat
+    from dint_ray.pipelines.partitioned import run_queries_routed
+
+    idir = ensure_index(sf_dir, "single_packed")
+    qds = _query_ds(QUERY_LOG)
+    storage = "compressed" if nat.available() else "decoded"
+    out = run_queries_routed(qds, idir, algo="maxscore", k=K,
+                             num_buckets=4, storage=storage)
+
+    def strip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "query_id": b.column("query_id").cast(pa.int64()),
+            "rank": pc.add(b.column("rank").cast(pa.int64()), 1),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
 def q_ranked_and_routed(sf_dir: str):
     return _run_routed(sf_dir, "ranked_and", "ranked_and")
 
@@ -1184,6 +1212,8 @@ def registry():
         "bm25_wand_routed_direct": (q_wand_routed_direct,
                                     SQL_RANKED_OR_DOCS),
         "bm25_maxscore_routed": (q_maxscore_routed, SQL_RANKED_OR),
+        "bm25_maxscore_routed_compressed": (q_maxscore_routed_compressed,
+                                            SQL_RANKED_OR_DOCS),
         "bm25_ranked_and_routed": (q_ranked_and_routed, SQL_RANKED_AND),
         "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),
         "block_profile": (q_block_profile, SQL_BLOCK_PROFILE),

@@ -471,35 +471,63 @@ typedef struct {
     const uint32_t *table;     /* padded flat entry table */
 } CDict;
 
-/* DINT b=16 codeword stream decode (codec.py _decode_codeword_stream):
-   cw 0 -> u16 literal, 1 -> u32 literal (two u16 LE), 2..6 -> zero run
-   (lengths 256..16), >= 7 -> copy dictionary entry.  Returns u16 code
-   units consumed. */
-static int64_t dint_decode16(const uint8_t *p, int n, const CDict *d,
-                             uint32_t *out) {
+/* DINT codeword stream decode (codec.py _decode_codeword_stream):
+   cw 0 -> u16 literal, 1 -> u32 literal, 2..6 -> zero run (lengths
+   256..16), >= 7 -> copy dictionary entry.  wide selects the codeword
+   width (b=16 vs b=8); exception literals are byte-LE either way.
+   Returns BYTES consumed. */
+static int64_t dint_decode(const uint8_t *p, int n, const CDict *d,
+                           int wide, uint32_t *out) {
     for (int i = 0; i < n; i++) out[i] = 0;
-    int produced = 0; int64_t cpos = 0;
+    int produced = 0; int64_t pos = 0;
     while (produced < n) {
-        uint16_t cw = ld16u(p + 2 * cpos);
+        uint32_t cw = wide ? (uint32_t)ld16u(p + pos) : (uint32_t)p[pos];
+        pos += wide ? 2 : 1;
         if (cw >= 7) {
             int len = d->lengths[cw];
             const uint32_t *e = d->table + d->offs[cw];
             for (int i = 0; i < len; i++) out[produced + i] = e[i];
             produced += len;
-            cpos += 1;
         } else if (cw >= 2) {
             produced += d->lengths[cw];   /* zero run, already zeroed */
-            cpos += 1;
         } else if (cw == 0) {
-            out[produced++] = ld16u(p + 2 * (cpos + 1));
-            cpos += 2;
+            out[produced++] = ld16u(p + pos);
+            pos += 2;
         } else {
-            out[produced++] = (uint32_t)ld16u(p + 2 * (cpos + 1)) |
-                              ((uint32_t)ld16u(p + 2 * (cpos + 2)) << 16);
-            cpos += 3;
+            out[produced++] = ld32u(p + pos);
+            pos += 4;
         }
     }
-    return cpos;
+    return pos;
+}
+
+/* one stream codec: single dict (no control byte) or multi-dict
+   (leading selector byte: sc < ndicts -> b=16 stream over dicts[sc],
+   else b=8 over dicts[sc - ndicts] — dint/codec.py decode_multi) */
+typedef struct { CDict dicts[8]; int ndicts; int multi; } CCodec;
+
+static void codec_init(CCodec *c, int multi, int nd, const uint64_t *lens,
+                       const uint64_t *offs, const uint64_t *tabs) {
+    c->multi = multi;
+    c->ndicts = nd;
+    for (int i = 0; i < nd && i < 8; i++) {
+        c->dicts[i].lengths = (const int32_t *)(uintptr_t)lens[i];
+        c->dicts[i].offs = (const int32_t *)(uintptr_t)offs[i];
+        c->dicts[i].table = (const uint32_t *)(uintptr_t)tabs[i];
+    }
+}
+
+static int64_t codec_decode(const uint8_t *p, int n, const CCodec *c,
+                            uint32_t *out) {
+    if (!c->multi)
+        return dint_decode(p, n, &c->dicts[0], 1, out);
+    uint8_t sc = p[0];
+    int64_t used;
+    if (sc < c->ndicts)
+        used = dint_decode(p + 1, n, &c->dicts[sc], 1, out);
+    else
+        used = dint_decode(p + 1, n, &c->dicts[sc - c->ndicts], 0, out);
+    return used + 1;
 }
 
 typedef struct {
@@ -523,7 +551,7 @@ typedef struct {
     int32_t term_idx;
 } CList;
 
-static void cl_load_block(CList *L, int64_t b, const CDict *dd) {
+static void cl_load_block(CList *L, int64_t b, const CCodec *dd) {
     int size = (b == L->nblocks - 1) ? (int)(L->n - b * 256) : 256;
     if (size == 0) size = 256;             /* n a multiple of 256 */
     int64_t start = b == 0 ? 0 : (int64_t)ld32u(L->endp_p + 4 * (b - 1));
@@ -533,7 +561,7 @@ static void cl_load_block(CList *L, int64_t b, const CDict *dd) {
     uint32_t gaps[256];
     int64_t used;
     if (size == 256) {
-        used = 2 * dint_decode16(p, 256, dd, gaps);
+        used = codec_decode(p, 256, dd, gaps);
     } else {
         uint32_t sum = (uint32_t)((int64_t)bmax - (prev + 1) - (size - 1));
         used = interp_decode(p, sum, 1, size, gaps);
@@ -547,9 +575,9 @@ static void cl_load_block(CList *L, int64_t b, const CDict *dd) {
     L->blk = b; L->blk_size = size; L->w_ready = 0;
 }
 
-static void cl_load_weights(CList *L, const CDict *fd, const float *norms) {
+static void cl_load_weights(CList *L, const CCodec *fd, const float *norms) {
     uint32_t fr[256];
-    if (L->blk_size == 256) (void)dint_decode16(L->fstart, 256, fd, fr);
+    if (L->blk_size == 256) (void)codec_decode(L->fstart, 256, fd, fr);
     else (void)interp_decode(L->fstart, 0, 0, L->blk_size, fr);
     for (int i = 0; i < L->blk_size; i++) {
         float f = (float)(fr[i] + 1);
@@ -561,7 +589,7 @@ static void cl_load_weights(CList *L, const CDict *fd, const float *norms) {
 }
 
 static void cl_open(CList *L, const uint8_t *payload, float qw,
-                    float max_weight, int32_t term_idx, const CDict *dd,
+                    float max_weight, int32_t term_idx, const CCodec *dd,
                     uint32_t universe) {
     int64_t off = 0;
     L->n = (int64_t)vb_read(payload, &off);
@@ -579,7 +607,7 @@ static void cl_open(CList *L, const uint8_t *payload, float qw,
     }
 }
 
-static void cl_advance(CList *L, const CDict *dd, uint32_t universe) {
+static void cl_advance(CList *L, const CCodec *dd, uint32_t universe) {
     int64_t pos = L->pos + 1;
     if (pos >= L->n) { L->pos = L->n; L->cur = universe; return; }
     int64_t b = pos >> 8;
@@ -588,7 +616,7 @@ static void cl_advance(CList *L, const CDict *dd, uint32_t universe) {
     L->cur = L->docs[L->ipos];
 }
 
-static void cl_next_geq(CList *L, uint32_t lb, const CDict *dd,
+static void cl_next_geq(CList *L, uint32_t lb, const CCodec *dd,
                         uint32_t universe) {
     if (L->cur >= lb) return;
     int64_t b = L->pos >> 8;
@@ -613,7 +641,7 @@ static void cl_next_geq(CList *L, uint32_t lb, const CDict *dd,
     L->ipos = lo2; L->pos = b * 256 + lo2; L->cur = L->docs[lo2];
 }
 
-static float cl_weight(CList *L, const CDict *fd, const float *norms) {
+static float cl_weight(CList *L, const CCodec *fd, const float *norms) {
     if (!L->w_ready) cl_load_weights(L, fd, norms);
     return L->w[L->ipos];
 }
@@ -627,14 +655,19 @@ static void cl_sort_by_cur(CList **a, int n) {
     }
 }
 
-/* full-list decode for conformance tests / replay */
+/* full-list decode for conformance tests / replay.  d_multi/f_multi
+   select single (no control byte) vs multi-dict (selector byte)
+   layouts; *_lens/offs/tabs are arrays of ndicts pointer values. */
 int64_t decode_list_compressed(
         const uint8_t *payload,
-        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
-        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        int d_multi, int d_nd, const uint64_t *d_lens,
+        const uint64_t *d_offs, const uint64_t *d_tabs,
+        int f_multi, int f_nd, const uint64_t *f_lens,
+        const uint64_t *f_offs, const uint64_t *f_tabs,
         uint32_t *out_docs, uint32_t *out_freqs) {
-    CDict dd = { dlen, doff, dtab };
-    CDict fd = { flen, foff, ftab };
+    CCodec dd, fd;
+    codec_init(&dd, d_multi, d_nd, d_lens, d_offs, d_tabs);
+    codec_init(&fd, f_multi, f_nd, f_lens, f_offs, f_tabs);
     int64_t off = 0;
     int64_t n = (int64_t)vb_read(payload, &off);
     int64_t nblocks = (n + 255) >> 8;
@@ -650,12 +683,12 @@ int64_t decode_list_compressed(
         uint32_t bmax = ld32u(maxs_p + 4 * b);
         uint32_t gaps[256], fr[256];
         int64_t used;
-        if (size == 256) used = 2 * dint_decode16(p, 256, &dd, gaps);
+        if (size == 256) used = codec_decode(p, 256, &dd, gaps);
         else {
             uint32_t sum = (uint32_t)((int64_t)bmax - (prev + 1) - (size - 1));
             used = interp_decode(p, sum, 1, size, gaps);
         }
-        if (size == 256) (void)dint_decode16(p + used, 256, &fd, fr);
+        if (size == 256) (void)codec_decode(p + used, 256, &fd, fr);
         else (void)interp_decode(p + used, 0, 0, size, fr);
         int64_t run = prev;
         for (int i = 0; i < size; i++) {
@@ -671,12 +704,15 @@ int64_t decode_list_compressed(
 int64_t wand_compressed_query(
         int n_lists, const uint64_t *payload_ptrs, const float *qws,
         const float *max_weights,
-        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
-        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        int d_multi, int d_nd, const uint64_t *d_lens,
+        const uint64_t *d_offs, const uint64_t *d_tabs,
+        int f_multi, int f_nd, const uint64_t *f_lens,
+        const uint64_t *f_offs, const uint64_t *f_tabs,
         const float *norms, uint32_t universe, int k,
         int64_t *out_docs, float *out_scores) {
-    CDict dd = { dlen, doff, dtab };
-    CDict fd = { flen, foff, ftab };
+    CCodec dd, fd;
+    codec_init(&dd, d_multi, d_nd, d_lens, d_offs, d_tabs);
+    codec_init(&fd, f_multi, f_nd, f_lens, f_offs, f_tabs);
     CList ls[64];
     CList *ordered[64];
     for (int i = 0; i < n_lists; i++) {
@@ -719,6 +755,82 @@ int64_t wand_compressed_query(
                 j++;
             }
         }
+    }
+    return heap_finalize(&hp, out_docs, out_scores);
+}
+
+/* maxscore over compressed cursors: operation-for-operation twin of
+   maxscore_query (essential/non-essential split, queries.hpp:459-573)
+   with lazy per-block decode — same float32 op order, bit-identical to
+   the decoded path. */
+int64_t maxscore_compressed_query(
+        int n_lists, const uint64_t *payload_ptrs, const float *qws,
+        const float *max_weights,
+        int d_multi, int d_nd, const uint64_t *d_lens,
+        const uint64_t *d_offs, const uint64_t *d_tabs,
+        int f_multi, int f_nd, const uint64_t *f_lens,
+        const uint64_t *f_offs, const uint64_t *f_tabs,
+        const float *norms, uint32_t universe, int k,
+        int64_t *out_docs, float *out_scores) {
+    CCodec dd, fd;
+    codec_init(&dd, d_multi, d_nd, d_lens, d_offs, d_tabs);
+    codec_init(&fd, f_multi, f_nd, f_lens, f_offs, f_tabs);
+    CList ls[64];
+    CList *ordered[64];
+    for (int i = 0; i < n_lists; i++) {
+        cl_open(&ls[i], (const uint8_t *)(uintptr_t)payload_ptrs[i], qws[i],
+                max_weights[i], i, &dd, universe);
+        ordered[i] = &ls[i];
+    }
+    /* stable sort by max_weight ascending (python sorted is stable) */
+    for (int i = 1; i < n_lists; i++) {
+        CList *e = ordered[i];
+        int j = i - 1;
+        while (j >= 0 && ordered[j]->max_weight > e->max_weight) {
+            ordered[j + 1] = ordered[j]; j--;
+        }
+        ordered[j + 1] = e;
+    }
+    float ub[64];
+    ub[0] = ordered[0]->max_weight;
+    for (int i = 1; i < n_lists; i++)
+        ub[i] = ub[i - 1] + ordered[i]->max_weight;
+    Heap hp; heap_init(&hp, k);
+    int32_t cterms[64]; float cws[64];
+    int non_essential = 0;
+    uint32_t cur = universe;
+    for (int i = 0; i < n_lists; i++)
+        if (ordered[i]->cur < cur) cur = ordered[i]->cur;
+    while (non_essential < n_lists && cur < universe) {
+        int nc = 0;
+        float running = 0.0f;
+        uint32_t nxt = universe;
+        for (int i = non_essential; i < n_lists; i++) {
+            CList *L = ordered[i];
+            if (L->cur == cur) {
+                float w = cl_weight(L, &fd, norms);
+                cterms[nc] = L->term_idx; cws[nc] = w; nc++;
+                running = running + w;
+                cl_advance(L, &dd, universe);
+            }
+            if (L->cur < nxt) nxt = L->cur;
+        }
+        for (int i = non_essential - 1; i >= 0; i--) {
+            if (!heap_would_enter(&hp, running + ub[i])) break;
+            CList *L = ordered[i];
+            cl_next_geq(L, cur, &dd, universe);
+            if (L->cur == cur) {
+                float w = cl_weight(L, &fd, norms);
+                cterms[nc] = L->term_idx; cws[nc] = w; nc++;
+                running = running + w;
+            }
+        }
+        if (heap_insert(&hp, sum_term_order(cterms, cws, nc), cur)) {
+            while (non_essential < n_lists &&
+                   !heap_would_enter(&hp, ub[non_essential]))
+                non_essential++;
+        }
+        cur = nxt;
     }
     return heap_finalize(&hp, out_docs, out_scores);
 }
@@ -874,14 +986,27 @@ int64_t maxscore_query(int n_lists, const uint64_t *docs_ptrs,
                        int64_t *out_docs, float *out_scores);
 int64_t decode_list_compressed(
         const uint8_t *payload,
-        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
-        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        int d_multi, int d_nd, const uint64_t *d_lens,
+        const uint64_t *d_offs, const uint64_t *d_tabs,
+        int f_multi, int f_nd, const uint64_t *f_lens,
+        const uint64_t *f_offs, const uint64_t *f_tabs,
         uint32_t *out_docs, uint32_t *out_freqs);
 int64_t wand_compressed_query(
         int n_lists, const uint64_t *payload_ptrs, const float *qws,
         const float *max_weights,
-        const int32_t *dlen, const int32_t *doff, const uint32_t *dtab,
-        const int32_t *flen, const int32_t *foff, const uint32_t *ftab,
+        int d_multi, int d_nd, const uint64_t *d_lens,
+        const uint64_t *d_offs, const uint64_t *d_tabs,
+        int f_multi, int f_nd, const uint64_t *f_lens,
+        const uint64_t *f_offs, const uint64_t *f_tabs,
+        const float *norms, uint32_t universe, int k,
+        int64_t *out_docs, float *out_scores);
+int64_t maxscore_compressed_query(
+        int n_lists, const uint64_t *payload_ptrs, const float *qws,
+        const float *max_weights,
+        int d_multi, int d_nd, const uint64_t *d_lens,
+        const uint64_t *d_offs, const uint64_t *d_tabs,
+        int f_multi, int f_nd, const uint64_t *f_lens,
+        const uint64_t *f_offs, const uint64_t *f_tabs,
         const float *norms, uint32_t universe, int k,
         int64_t *out_docs, float *out_scores);
 """
@@ -1081,9 +1206,29 @@ def dict_c_arrays(d):
     return lengths, offs, table
 
 
+def _codec_c_args(ffi, d):
+    """(keep, flat cffi args) for one stream codec: a PackedDict
+    (single layout, no control byte) or a MultiPackedDict (selector
+    byte, b=16/b=8 streams — dint/codec.py decode_multi)."""
+    multi = hasattr(d, "dicts")
+    dl = d.dicts if multi else [d]
+    keep = [dict_c_arrays(x) for x in dl]
+    lp = np.array([k[0].ctypes.data for k in keep], dtype=np.uint64)
+    op = np.array([k[1].ctypes.data for k in keep], dtype=np.uint64)
+    tp = np.array([k[2].ctypes.data for k in keep], dtype=np.uint64)
+    keep.extend((lp, op, tp))
+    args = (int(multi), len(dl),
+            ffi.cast("uint64_t *", lp.ctypes.data),
+            ffi.cast("uint64_t *", op.ctypes.data),
+            ffi.cast("uint64_t *", tp.ctypes.data))
+    return keep, args
+
+
 class CompressedWand:
     """Per-process handle: casts the dictionary / norm arrays once, then
-    serves wand_compressed_query calls over raw payload pointers.
+    serves wand/maxscore compressed queries over raw payload pointers.
+    Supports single-dict (single_packed / single_rect) AND multi-dict
+    (multi_packed) payload layouts.
 
     Lists MUST be passed in ascending term order (term_idx = position,
     used for the float32 contribution-accumulation order)."""
@@ -1094,23 +1239,22 @@ class CompressedWand:
             raise RuntimeError("C kernels unavailable")
         self.ffi, self.lib = ffi, lib
         # keep the arrays alive for the lifetime of the handle
-        self._keep = [dict_c_arrays(docs_dict), dict_c_arrays(freqs_dict)]
-        (dl, do, dt), (fl, fo, ft) = self._keep
+        dk, dargs = _codec_c_args(ffi, docs_dict)
+        fk, fargs = _codec_c_args(ffi, freqs_dict)
+        self._keep = [dk, fk]
+        self._dict_args = dargs + fargs
         self.norms = np.ascontiguousarray(norms, dtype=np.float32)
-        c = ffi.cast
-        self._dict_args = (
-            c("int32_t *", dl.ctypes.data), c("int32_t *", do.ctypes.data),
-            c("uint32_t *", dt.ctypes.data),
-            c("int32_t *", fl.ctypes.data), c("int32_t *", fo.ctypes.data),
-            c("uint32_t *", ft.ctypes.data))
-        self._norms_c = c("float *", self.norms.ctypes.data)
+        self._norms_c = ffi.cast("float *", self.norms.ctypes.data)
 
     def query(self, payload_ptrs: np.ndarray, qws: np.ndarray,
-              mws: np.ndarray, universe: int, k: int):
-        """[(rel_doc, score)] exact per-bucket top-k."""
+              mws: np.ndarray, universe: int, k: int,
+              algo: str = "wand"):
+        """[(rel_doc, score)] exact per-bucket top-k (wand / maxscore)."""
         ffi = self.ffi
+        fn = self.lib.wand_compressed_query if algo == "wand" \
+            else self.lib.maxscore_compressed_query
         out_docs, out_scores, out_docs_c, out_scores_c = _out_buffers(ffi, k)
-        cnt = self.lib.wand_compressed_query(
+        cnt = fn(
             len(payload_ptrs), _as(ffi, "uint64_t *", payload_ptrs),
             _as(ffi, "float *", qws), _as(ffi, "float *", mws),
             *self._dict_args, self._norms_c, universe, k,

@@ -522,9 +522,12 @@ class PartitionScorer:
                                                  freqs_codec))
 
         if storage == "compressed":
-            if manifest["dict_kind"] != "single_packed":
+            if manifest["dict_kind"] not in ("single_packed", "single_rect",
+                                             "multi_packed"):
                 raise ValueError(
-                    "compressed serving supports kind=single_packed")
+                    "compressed serving supports the DINT kinds "
+                    "(single_packed / single_rect / multi_packed), got "
+                    f"{manifest['dict_kind']!r}")
             from dint_ray import native as nat
 
             mw = np.zeros(nterms, dtype=np.float32)
@@ -547,7 +550,7 @@ class PartitionScorer:
                             for t, s in slot_of.items()}
             self._local_mw = mw
             self._universe = hi - self.base
-            bundle = load_codec_bundle(index_dir, "single_packed")
+            bundle = load_codec_bundle(index_dir, manifest["dict_kind"])
             self._cw = nat.CompressedWand(bundle.docs_dict,
                                           bundle.freqs_dict, n32)
             self._qcache: dict[tuple, tuple] = {}
@@ -622,16 +625,18 @@ class PartitionScorer:
                 np.asarray(scores_out, dtype=np.float32))
 
     def _score_compressed_arrays(self, terms_list, algo: str, k: int):
-        """WAND over raw DINT payloads (no decoded arrays anywhere).
-        Identical results to the decoded path: same cursor semantics,
-        same float32 weight op order in C, rel-docid tie-break equals
-        global (uniform +base shift within the bucket)."""
+        """WAND / MaxScore over raw DINT payloads (no decoded arrays
+        anywhere).  Identical results to the decoded path: same cursor
+        semantics, same float32 weight op order in C, rel-docid
+        tie-break equals global (uniform +base shift within the
+        bucket)."""
         from dint_ray.queries.algorithms import query_freqs
         from dint_ray.scoring import query_term_weight
 
-        if algo != "wand":
+        if algo not in ("wand", "maxscore"):
             raise ValueError(
-                f"compressed owners serve algo='wand' (got {algo!r})")
+                "compressed owners serve algo in ('wand', 'maxscore') "
+                f"(got {algo!r})")
         nq = len(terms_list)
         counts = np.empty(nq, dtype=np.int32)
         docs_out: list = []
@@ -668,7 +673,7 @@ class PartitionScorer:
                 counts[i] = 0
                 continue
             res = self._cw.query(ptrs[:nl], qws[:nl], mws[:nl],
-                                 self._universe, k)
+                                 self._universe, k, algo=algo)
             counts[i] = len(res)
             docs_out.extend(base + d for d, _ in res)
             scores_out.extend(s for _, s in res)

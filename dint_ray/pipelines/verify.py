@@ -56,7 +56,7 @@ class _ShardFps:
         bundle = load_codec_bundle(index_dir, kind)
         self.docs_codec, self.freqs_codec = bundle.codecs()
         self._cw = None
-        if kind == "single_packed":
+        if kind in ("single_packed", "single_rect", "multi_packed"):
             try:
                 from dint_ray import native as nat
 
