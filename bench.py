@@ -238,8 +238,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-SCALING_DOCS = 200_000
+SCALING_DOCS = 500_000
 SCALING_VOCAB = 30_000
+SCALING_SHARDS = 32
 # sized so the 32-CPU leg's timed section is still dominated by owner
 # compute (the C-kernel WAND cursors made per-query work ~10x cheaper;
 # at 80k queries the fixed scatter/merge costs swamped the wide leg)
@@ -248,18 +249,30 @@ SCALING_DIR = "/tmp/dint_ray_scaling"
 
 
 def _scaling_fixture() -> str:
-    """Deterministic 200k-doc Zipf web-page corpus (no external data);
-    small row groups so the read parallelizes."""
+    """Deterministic Zipf web-page corpus (no external data), written
+    as a DIRECTORY of shard files: one parquet file is ONE Ray read
+    task, which serializes the fused read->tokenize pipeline no matter
+    how many CPUs the leg has (measured: tokenize wall flat at 6 vs 24
+    CPUs on a single file).  Many files is also the only realistic
+    shape — a 100 TB crawl is never one parquet."""
     import pyarrow.parquet as pq
 
     os.makedirs(SCALING_DIR, exist_ok=True)
-    path = os.path.join(SCALING_DIR, f"pages_{SCALING_DOCS}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(SCALING_DIR,
+                        f"pages_{SCALING_DOCS}_x{SCALING_SHARDS}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
         from dint_ray.fixtures import generate_pages
 
+        os.makedirs(path, exist_ok=True)
         t = generate_pages(SCALING_DOCS, vocab_size=SCALING_VOCAB, seed=11)
-        pq.write_table(t, path + ".tmp", row_group_size=4096)
-        os.replace(path + ".tmp", path)
+        step = (SCALING_DOCS + SCALING_SHARDS - 1) // SCALING_SHARDS
+        for i in range(SCALING_SHARDS):
+            part = t.slice(i * step, step)
+            pq.write_table(part, os.path.join(path, f"part-{i:04d}.parquet"),
+                           row_group_size=4096)
+        with open(done, "w") as f:
+            f.write("ok")
     return path
 
 

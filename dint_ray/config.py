@@ -60,6 +60,12 @@ class BuildConfig:
     # picks dataset when the df-partial row count exceeds the threshold
     vocab_mode: str = "auto"
     vocab_dataset_threshold: int = 5_000_000
+    # tokenize-output checkpoint: True writes postings_rows/ parquet
+    # (resume granularity worth one disk roundtrip when tokenize is a
+    # long stage), False keeps the rows in the object store
+    # (spillable; a crash before the postings checkpoint re-tokenizes),
+    # None = auto (checkpoint above 5M docs)
+    checkpoint_rows: bool | None = None
     # actor pools; concurrency 0 = size to the cluster (one per CPU)
     encode_batch_size: int = 64
     encode_concurrency: int = 0
@@ -67,14 +73,45 @@ class BuildConfig:
     tokenize_concurrency: int = 0
 
     def pool_size(self, configured: int) -> int:
+        """Max actor-pool size for build stages (headroom below the
+        CPU count so shuffle aggregators/tasks in the same execution
+        stay schedulable)."""
         if configured:
             return configured
         try:
             import ray
 
-            return max(4, int(ray.cluster_resources().get("CPU", 8)))
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            return max(2, ncpu - max(1, ncpu // 8))
         except Exception:
             return 8
+
+    def pool_bounds(self, configured: int) -> tuple[int, int]:
+        """(min, max) actor-pool bounds for build stages.
+
+        A (1, N) pool ramps from one actor and — under streaming
+        backpressure, which keeps queues small — often never widens,
+        so short stages run near-serial at any CPU count (measured:
+        tokenize wall identical at 6 and 24 CPUs).  A FIXED full-size
+        pool deadlocks executions that also contain hash-shuffle
+        aggregator actors (all logical CPUs reserved by the pool, no
+        slot left for an aggregator or task).  The fix is a meaningful
+        MIN floor (~1/3 of the CPUs): immediate parallel startup, with
+        enough headroom that aggregators and task operators schedule.
+
+        The cap is clamped below the cluster CPU count even for
+        explicitly configured sizes — a pool covering every logical
+        CPU starves the fused read tasks / write operator of the same
+        execution and the stage deadlocks (observed at 8 CPUs)."""
+        cap = self.pool_size(configured)
+        try:
+            import ray
+
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        cap = max(2, min(cap, ncpu - max(1, ncpu // 8)))
+        return (max(1, min(cap, ncpu // 3)), cap)
 
 
 DEFAULT = DintConfig()

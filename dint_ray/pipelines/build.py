@@ -62,6 +62,22 @@ def _mark_done(path: str) -> None:
         f.write("ok")
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footers only — a file or a directory of
+    shard files; never a Ray pass over the data."""
+    import glob as _g
+
+    if os.path.isfile(path):
+        return pq.read_metadata(path).num_rows
+    files = sorted(_g.glob(os.path.join(path, "**", "*.parquet"),
+                           recursive=True))
+    if files:
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    import ray.data as rd
+
+    return rd.read_parquet(path).count()
+
+
 def _gap_buffers(batch: pa.Table, stream: str) -> list:
     from dint_ray.util import list_views
 
@@ -171,21 +187,35 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
     nctx = cfg.num_selectors if multi else 1
     nrows = partial.count()
 
-    # global totals first (the cost filter needs them before selection)
+    # global totals first (the cost filter needs them before selection).
+    # Combined per block BEFORE the driver sees anything — pulling the
+    # full (stream, total_ints) columns to the driver just to sum them
+    # cost ~1.5 s per build at 11M partial rows.
+    def _tot_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"stream": pa.array([], pa.uint8()),
+                             "total_ints": pa.array([], pa.uint64())})
+        return (b.select(["stream", "total_ints"]).group_by("stream")
+                .aggregate([("total_ints", "sum")])
+                .rename_columns(["stream", "total_ints"]))
+
     tot_tab = pa.concat_tables(
-        [t for t in ray.get(partial.select_columns(["stream", "total_ints"])
-                            .to_arrow_refs()) if t is not None and t.num_rows],
+        [t for t in ray.get(partial.map_batches(
+            _tot_block, batch_format="pyarrow", batch_size=None,
+            num_cpus=1).to_arrow_refs()) if t is not None and t.num_rows],
         promote_options="default")
     tot_pd = tot_tab.to_pandas().groupby("stream")["total_ints"].sum()
     totals = {int(k): int(v) for k, v in tot_pd.items()}
 
-    if nrows <= 50_000_000:
-        # one multithreaded pyarrow group_by on the driver: measured
-        # 3.5 s for 11.3M rows where the hash-shuffle exchange took
-        # 14.7 s at 24 CPUs (and the old pandas groupby 44 s) — below
-        # ~50M rows the exchange is pure overhead.  Beyond that the
-        # distributed branch below takes over (hash cardinality, and
-        # therefore partial-row count, grows with corpus size).
+    if nrows <= 4_000_000:
+        # one multithreaded pyarrow group_by on the driver — below a
+        # few million partial rows the exchange is pure overhead.
+        # Above it the distributed branch wins: the driver group_by +
+        # winner selection is a SERIAL chunk that grows with hash
+        # cardinality (measured 14 s at 28M partial rows / 19M groups,
+        # identical at every CPU count — the build's scaling killer),
+        # while the hash exchange + per-partition pre-selection below
+        # parallelizes it and ships only candidate rows to the driver.
         pt = pa.concat_tables(
             [t for t in ray.get(partial.to_arrow_refs())
              if t is not None and t.num_rows], promote_options="default")
@@ -410,8 +440,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
             return json.load(f)
 
     # num_docs from parquet footers: no Ray pass just to count rows
-    num_docs = pq.read_metadata(pages_path).num_rows if os.path.isfile(pages_path) \
-        else rd.read_parquet(pages_path).count()
+    num_docs = _parquet_num_rows(pages_path)
     pages = rd.read_parquet(pages_path, columns=[id_col, "html" if from_html else text_col])
     stage_secs: dict[str, float] = {}
 
@@ -421,13 +450,26 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         return now
 
     t = time.time()
-    # --- stage 1: tokenize -> posting rows (checkpointed parquet) ---
+    # --- stage 1: tokenize -> posting rows ---
+    # Checkpointing the rows costs a full disk roundtrip of the string
+    # rows; below the auto threshold they stay in the (spillable)
+    # object store instead and a crash before the postings checkpoint
+    # re-tokenizes — the cheap side of that trade flips at scale, where
+    # tokenize is a long stage worth its own checkpoint.
     rows_dir = os.path.join(out_dir, "postings_rows")
-    if not _done(rows_dir):
+    ckpt_rows = bcfg.checkpoint_rows
+    if ckpt_rows is None:
+        ckpt_rows = num_docs > 5_000_000
+    if _done(rows_dir):
+        rows_ds = rd.read_parquet(rows_dir)
+    elif ckpt_rows:
         os.makedirs(rows_dir, exist_ok=True)
         tokenize_rows(pages, bcfg, from_html=from_html).write_parquet(rows_dir)
         _mark_done(rows_dir)
-    rows_ds = rd.read_parquet(rows_dir)
+        rows_ds = rd.read_parquet(rows_dir)
+    else:
+        rows_ds = tokenize_rows(pages, bcfg,
+                                from_html=from_html).materialize()
     t = _tick("tokenize", t)
 
     # --- stage 2: vocabulary (driver dict below the term threshold,
@@ -538,7 +580,9 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         fn_constructor_kwargs={"dicts_ref": dicts_ref, "norm_lens_ref": norms_ref},
         batch_format="pyarrow",
         batch_size=bcfg.encode_batch_size,
-        concurrency=(1, bcfg.pool_size(bcfg.encode_concurrency)),
+        # fixed pool: see postings.tokenize_rows (autoscale ramp never
+        # widens short stages)
+        concurrency=bcfg.pool_bounds(bcfg.encode_concurrency),
         num_cpus=1,
     )
 

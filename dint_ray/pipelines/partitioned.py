@@ -60,12 +60,18 @@ def serve_dir_for(index_dir: str, num_buckets: int) -> str:
 
 
 def build_serve_partitions(index_dir: str, num_buckets: int,
-                           concurrency: int = 8) -> str:
+                           concurrency: int = 0) -> str:
     """Split + re-encode the built index into doc-bucket partitions.
 
     Reads the grouped-postings checkpoint (term_id, docs, freqs) the
     build already wrote, so this is one distributed map over lists —
-    no extra shuffle (lists are split columnar-wise per batch)."""
+    no extra shuffle (lists are split columnar-wise per batch).
+
+    concurrency=0 sizes the actor pool to the cluster via
+    BuildConfig.pool_bounds — NEVER pass a fixed pool equal to the
+    cluster CPU count: a fixed pool reserves every logical CPU before
+    processing, so the fused read tasks and the write_parquet operator
+    can't schedule and the stage deadlocks (observed at 8 CPUs)."""
     import dint_ray
     dint_ray.ensure_tuned()
     import ray
@@ -149,9 +155,12 @@ def build_serve_partitions(index_dir: str, num_buckets: int,
                 "payload": pa.array(o_pl, pa.binary()),
             })
 
+    from dint_ray.config import BuildConfig
+
     lists_ds = rd.read_parquet(os.path.join(index_dir, "postings"))
     (lists_ds.map_batches(SplitEncode, batch_format="pyarrow",
-                          batch_size=None, concurrency=(1, concurrency),
+                          batch_size=None,
+                          concurrency=BuildConfig().pool_bounds(concurrency),
                           num_cpus=1)
      .write_parquet(out_dir, partition_cols=["bucket"]))
 
@@ -292,8 +301,9 @@ def build_serve_direct(pages_path: str, out_dir: str,
     if os.path.exists(os.path.join(serve_dir, "_SUCCESS")):
         return out_dir
 
-    num_docs = pq.read_metadata(pages_path).num_rows if os.path.isfile(pages_path) \
-        else rd.read_parquet(pages_path).count()
+    from dint_ray.pipelines.build import _parquet_num_rows
+
+    num_docs = _parquet_num_rows(pages_path)
     width = (num_docs + num_buckets - 1) // num_buckets
     pages = rd.read_parquet(
         pages_path, columns=["doc_id", "html" if from_html else "text"])
@@ -338,7 +348,7 @@ def build_serve_direct(pages_path: str, out_dir: str,
                 "small_docids": num_docs < 2**32 - 1,
             },
             batch_format="pyarrow",
-            concurrency=(1, bcfg.pool_size(bcfg.tokenize_concurrency)),
+            concurrency=bcfg.pool_bounds(bcfg.tokenize_concurrency),
             num_cpus=1,
         )
 
@@ -372,7 +382,7 @@ def build_serve_direct(pages_path: str, out_dir: str,
             "width": width, "num_docs": num_docs, "avg": avg},
         batch_format="pyarrow",
         batch_size=bcfg.encode_batch_size,
-        concurrency=(1, bcfg.pool_size(bcfg.encode_concurrency)),
+        concurrency=bcfg.pool_bounds(bcfg.encode_concurrency),
         num_cpus=1)
      .write_parquet(serve_dir, partition_cols=["bucket"]))
 

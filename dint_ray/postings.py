@@ -85,7 +85,13 @@ def _coalesce(ds, width: int | None = None):
 
 
 def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = False):
-    """pages Dataset -> (doc_id, term, tf) rows Dataset (actor pool)."""
+    """pages Dataset -> (doc_id, term, tf) rows Dataset (actor pool).
+
+    FIXED-size pool: an autoscaling (1, N) pool ramps from one actor
+    and upscales only when the queue builds, so short stages finish on
+    1-3 actors and the stage wall never drops with more CPUs (measured:
+    identical 6 s at 6 and 24 CPUs on 200k docs).  A fixed pool starts
+    every actor in parallel — wall cost of ONE startup."""
     import dint_ray
 
     dint_ray.ensure_tuned()
@@ -94,7 +100,7 @@ def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = 
         fn_constructor_kwargs={"from_html": from_html},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=(1, cfg.pool_size(cfg.tokenize_concurrency)),
+        concurrency=cfg.pool_bounds(cfg.tokenize_concurrency),
         num_cpus=1,
     )
 
@@ -659,7 +665,7 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
             "small_docids": small_docids,
         },
         batch_format="pyarrow",
-        concurrency=(1, cfg.pool_size(cfg.tokenize_concurrency)),
+        concurrency=cfg.pool_bounds(cfg.tokenize_concurrency),
         num_cpus=1,
     )
     width = _shuffle_width()
