@@ -276,6 +276,26 @@ def _scaling_fixture() -> str:
     return path
 
 
+def _index_digest(out_dir: str) -> str:
+    """Order-independent digest over shard rows (term_id, payload):
+    asserts the salted and single merge strategies build the same
+    index bytes."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    h = 0
+    for f in sorted(glob.glob(os.path.join(out_dir, "shards", "**",
+                                           "*.parquet"), recursive=True)):
+        t = pq.read_table(f, columns=["term_id", "payload"])
+        for tid, pl in zip(t.column("term_id").to_pylist(),
+                           t.column("payload").to_pylist()):
+            d = hashlib.md5(int(tid).to_bytes(4, "little") + pl).digest()
+            h ^= int.from_bytes(d[:8], "little")
+    return f"{h:016x}"
+
+
 def run_scaling_inner(cpus: int) -> dict:
     """One parallelism level: fresh build + warmed serving throughput."""
     import time as _t
@@ -299,6 +319,22 @@ def run_scaling_inner(cpus: int) -> dict:
     t0 = _t.time()
     manifest = build_index_ray(pages, out_dir)
     build_sec = _t.time() - t0
+
+    # salted two-exchange merge: the 10^12-doc skew path (head lists
+    # split into doc-range buckets).  merge_strategy="auto" only picks
+    # it above chunk_df_threshold, so force it here for a measured
+    # number at both widths and assert bit-identity with the
+    # single-exchange index (VERDICT r2 item 7).
+    from dint_ray.config import BuildConfig
+
+    out_salted = os.path.join(SCALING_DIR, f"build_salted_{cpus}")
+    shutil.rmtree(out_salted, ignore_errors=True)
+    t0 = _t.time()
+    build_index_ray(pages, out_salted,
+                    bcfg=BuildConfig(merge_strategy="salted"))
+    salted_sec = _t.time() - t0
+    salted_match = _index_digest(out_dir) == _index_digest(out_salted)
+    shutil.rmtree(out_salted, ignore_errors=True)
 
     qlog = generate_queries(SCALING_QUERIES, manifest["num_terms"])
     qds = queries_to_dataset(qlog)
@@ -373,6 +409,9 @@ def run_scaling_inner(cpus: int) -> dict:
         "num_docs": SCALING_DOCS,
         "build_sec": round(build_sec, 1),
         "build_docs_per_sec": round(SCALING_DOCS / build_sec, 1),
+        "build_salted_sec": round(salted_sec, 1),
+        "build_salted_docs_per_sec": round(SCALING_DOCS / salted_sec, 1),
+        "salted_digest_match": salted_match,
         "wand_queries_per_sec": serve["wand"],
         "wand_compressed_queries_per_sec": serve["wand_compressed"],
         "fast_queries_per_sec": serve["ranked_or_fast"],
@@ -434,6 +473,9 @@ def run_scaling() -> dict:
         "fast_queries_per_sec": {str(lo): rlo["fast_queries_per_sec"],
                                  str(hi): rhi["fast_queries_per_sec"]},
         "build_efficiency": eff("build_docs_per_sec"),
+        "build_salted_efficiency": eff("build_salted_docs_per_sec"),
+        "salted_digest_match": (rlo["salted_digest_match"]
+                                and rhi["salted_digest_match"]),
         "wand_serve_efficiency": eff("wand_queries_per_sec"),
         "wand_compressed_serve_efficiency":
             eff("wand_compressed_queries_per_sec"),

@@ -69,7 +69,11 @@ def tune_for_cluster() -> None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         ctx = rd.DataContext.get_current()
         ctx.default_hash_shuffle_parallelism = max(4, ncpu)
-        ctx.max_hash_shuffle_aggregators = max(2, ncpu // 4)
+        # ncpu/2 aggregators: at ncpu/4 the aggregator actors were the
+        # exchange ceiling (28M-row keyed repartition at 24 CPUs: 9.5 s
+        # with 6 aggregators, 7.3 s with 12; 18 regressed to 10.7 s —
+        # past half the CPUs they crowd out the producer tasks)
+        ctx.max_hash_shuffle_aggregators = max(2, ncpu // 2)
         frac = 0.05 if ncpu <= 8 else 0.25
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = frac
         ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = frac

@@ -98,9 +98,19 @@ class _BitReader:
 
 
 def encode(values: np.ndarray, sum_of_values: int = U32_INVALID) -> bytes:
-    """Encode a block of non-negative gaps (uint32)."""
+    """Encode a block of non-negative gaps (uint32).
+
+    Hot path is the C kernel (native.interp_encode, byte-identical —
+    asserted in tests): every partial DINT block and every short
+    (bucket, term) segment of the direct serve build pays this encoder,
+    and the Python bit writer measured 0.89 Mints/s vs ~26 Mints/s."""
     n = len(values)
     assert n >= 1
+    from dint_ray import native
+
+    enc = native.interp_encode(values, sum_of_values)
+    if enc is not None:
+        return enc
     prefix = np.cumsum(values.astype(np.uint64)).tolist()
     header = b""
     if sum_of_values == U32_INVALID:

@@ -57,9 +57,13 @@ class BuildConfig:
     # actor (fast below ~10^7 terms); "dataset" keeps the vocabulary a
     # Dataset and assigns ids via a distributed hash join on term (the
     # 10^12-doc path — no O(num_terms) driver/actor state); "auto"
-    # picks dataset when the df-partial row count exceeds the threshold
+    # picks dataset when the df-partial row count exceeds the
+    # threshold.  20M matches _sum_by_key's driver_limit: below it the
+    # driver reduce is a sub-second arrow group_by, and the dataset
+    # path's term-string exchange + distributed rank costs ~6 s of
+    # fixed wall that doesn't shrink with cluster size.
     vocab_mode: str = "auto"
-    vocab_dataset_threshold: int = 5_000_000
+    vocab_dataset_threshold: int = 20_000_000
     # tokenize-output checkpoint: True writes postings_rows/ parquet
     # (resume granularity worth one disk roundtrip when tokenize is a
     # long stage), False keeps the rows in the object store

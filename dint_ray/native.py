@@ -465,6 +465,70 @@ static int64_t interp_decode(const uint8_t *p, uint32_t sum_known,
     return off;
 }
 
+/* ---- interpolative ENCODE (interpolative.py encode; byte-identical
+   bit layout: little-endian bit order, centered minimal binary) ---- */
+
+typedef struct { uint8_t *p; int64_t pos; } BitWr;
+
+static void bw_write(BitWr *w, uint64_t bits, int nbits) {
+    /* bits may exceed 32 significant bits: the recursion's midpoint
+       values are bounded by the block SUM, which the unknown-sum
+       (varbyte-header) path does not cap at 2^32 */
+    if (!nbits) return;
+    int64_t byte = w->pos >> 3;
+    int shift = (int)(w->pos & 7);
+    unsigned __int128 acc = (unsigned __int128)bits << shift;
+    int need = (shift + nbits + 7) >> 3;
+    for (int i = 0; i < need; i++) w->p[byte + i] |= (uint8_t)(acc >> (8 * i));
+    w->pos += nbits;
+}
+
+static void bw_write_int(BitWr *w, uint64_t val, uint64_t u) {
+    int b = 63 - __builtin_clzll(u);
+    uint64_t m = (1ULL << (b + 1)) - u;
+    if (val < m) bw_write(w, val, b);
+    else {
+        val += m;
+        bw_write(w, val >> 1, b);
+        bw_write(w, val & 1, 1);
+    }
+}
+
+static void bw_write_interp(BitWr *w, const uint64_t *arr, int lo, int n,
+                            uint64_t low, uint64_t high) {
+    if (!n) return;
+    int h = n / 2;
+    uint64_t val = arr[lo + h];
+    bw_write_int(w, val - low, high - low + 1);
+    bw_write_interp(w, arr, lo, h, low, val);
+    bw_write_interp(w, arr, lo + h + 1, n - h - 1, val, high);
+}
+
+/* TightVariableByte encode_single (varbyte.py) */
+static int64_t vb_write(uint8_t *out, uint64_t v) {
+    int64_t i = 0;
+    while (v >= 128) { out[i++] = (uint8_t)(v & 127); v >>= 7; }
+    out[i++] = (uint8_t)(v | 128);
+    return i;
+}
+
+/* encode n gaps; out must be ZEROED and >= 10 + 5*n bytes.  have_sum:
+   sum_of_values known to both sides (no varbyte header).  -1 on n too
+   large.  Byte-identical to interpolative.py encode (tests assert). */
+int64_t interp_encode(const uint32_t *gaps, int n, uint64_t sum_known,
+                      int have_sum, uint8_t *out) {
+    uint64_t prefix[4096];
+    uint64_t s = 0;
+    if (n > 4096 || n < 1) return -1;
+    for (int i = 0; i < n; i++) { s += gaps[i]; prefix[i] = s; }
+    int64_t off = 0;
+    uint64_t sum = have_sum ? sum_known : s;
+    if (!have_sum) off = vb_write(out, sum);
+    BitWr w = { out + off, 0 };
+    bw_write_interp(&w, prefix, 0, n - 1, 0, sum);
+    return off + ((w.pos + 7) >> 3);
+}
+
 typedef struct {
     const int32_t  *lengths;   /* ints produced per codeword */
     const int32_t  *offs;      /* masked table offsets */
@@ -969,6 +1033,8 @@ _CDEF = """
 int64_t dint_opt_encode(const uint32_t *buf, int64_t n,
                         const uint64_t *th, const uint32_t *tc, int64_t m,
                         int32_t b, uint8_t *out);
+int64_t interp_encode(const uint32_t *gaps, int n, uint64_t sum_known,
+                      int have_sum, uint8_t *out);
 int64_t wand_query(int n_lists, const uint64_t *docs_ptrs,
                    const uint64_t *w_ptrs, const int64_t *lens,
                    const float *max_weights, uint32_t universe, int k,
@@ -1139,6 +1205,27 @@ def opt_encode(buf: np.ndarray, lookup, b: int) -> bytes | None:
         ffi.cast("uint64_t *", th.ctypes.data),
         ffi.cast("uint32_t *", tc.ctypes.data), len(th),
         b, ffi.cast("uint8_t *", out.ctypes.data))
+    if got < 0:
+        return None
+    return out[:got].tobytes()
+
+
+def interp_encode(gaps: np.ndarray, sum_of_values: int) -> bytes | None:
+    """C twin of codecs/interpolative.py encode (byte-identical output;
+    asserted in tests).  sum_of_values == U32_INVALID writes the
+    varbyte sum header, any other value is the caller-known sum.
+    None -> Python path (no compiler / oversized block)."""
+    ffi, lib = get_lib()
+    n = len(gaps)
+    if lib is None or n == 0 or n > 4096:
+        return None
+    gaps = np.ascontiguousarray(gaps, dtype=np.uint32)
+    out = np.zeros(10 + 5 * n, dtype=np.uint8)
+    have = sum_of_values != 0xFFFFFFFF
+    got = lib.interp_encode(
+        ffi.cast("uint32_t *", gaps.ctypes.data), n,
+        sum_of_values if have else 0, 1 if have else 0,
+        ffi.cast("uint8_t *", out.ctypes.data))
     if got < 0:
         return None
     return out[:got].tobytes()

@@ -165,7 +165,8 @@ def resolve_stats_batch(batch: pa.Table, *, wanted, multi: bool,
 
 
 def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
-                   cfg: DintConfig = DintConfig()):
+                   cfg: DintConfig = DintConfig(),
+                   timings: dict | None = None):
     """Distributed D1/D2 for both streams: ONE hash-count pass + ONE
     exchange, winner selection on the driver, then ONE resolution pass
     mapping winning hashes back to pattern bytes.
@@ -178,7 +179,20 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
 
     if os.path.exists(docs_path) and os.path.exists(freqs_path):
         return pq.read_table(docs_path), pq.read_table(freqs_path)
+    # sub-stage wall clocks, surfaced in the manifest's stage_secs as
+    # "pattern_stats.<step>" so scaling regressions point at a step,
+    # not the whole stage
+    subs: dict[str, float] = {}
+    _t0 = time.time()
+
+    def _sub(name: str) -> None:
+        nonlocal _t0
+        now = time.time()
+        subs[name] = round(now - _t0, 2)
+        _t0 = now
+
     postings_ds = postings_ds.materialize()  # consumed twice (count + resolve)
+    _sub("materialize_postings")
     partial = postings_ds.map_batches(
         collect_stats_batch, fn_kwargs={"kind": kind},
         batch_format="pyarrow", batch_size=None, num_cpus=1,
@@ -186,6 +200,7 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
     multi = kind == "multi_packed"
     nctx = cfg.num_selectors if multi else 1
     nrows = partial.count()
+    _sub("hash_count")
 
     # global totals first (the cost filter needs them before selection).
     # Combined per block BEFORE the driver sees anything — pulling the
@@ -206,6 +221,7 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         promote_options="default")
     tot_pd = tot_tab.to_pandas().groupby("stream")["total_ints"].sum()
     totals = {int(k): int(v) for k, v in tot_pd.items()}
+    _sub("totals")
 
     if nrows <= 4_000_000:
         # one multithreaded pyarrow group_by on the driver — below a
@@ -261,13 +277,24 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
             return g.take(np.sort(np.concatenate(keep_idx)))
 
         width = _shuffle_width()
-        cand = partial.repartition(width, keys=["hash"], sort=False).map_batches(
+        # total_ints is only needed for the totals computed above — at
+        # u64 per row it is ~30% of the exchange bytes, so drop it.
+        # The repartition is MATERIALIZED before agg_block runs:
+        # streaming the keyed exchange straight into the (num_cpus=1)
+        # agg tasks makes those tasks fight the shuffle aggregators for
+        # slots and the stage backpressures itself — measured 2.3x
+        # slower (20.9 s vs 10.3 s for the bare exchange+groupby at 24
+        # CPUs on 28M rows; 38.9 s with the winner preselect included).
+        rep = (partial.drop_columns(["total_ints"])
+               .repartition(width, keys=["hash"], sort=False).materialize())
+        cand = rep.map_batches(
             agg_block, fn_kwargs={"totals": totals, "cfg": cfg, "nctx": nctx},
             batch_format="pyarrow", batch_size=None, num_cpus=1)
         agg = pa.concat_tables(
             [t for t in ray.get(cand.to_arrow_refs())
              if t is not None and t.num_rows],
             promote_options="default")
+    _sub("exchange_and_agg")
 
     # winner selection on numpy views of the arrow columns (zero-copy
     # for the fixed-width types; the former pandas round-trip of the
@@ -292,6 +319,7 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
             for s in np.unique(ws):
                 wmap.setdefault((ctx, int(s)), []).append(wh[ws == s])
         wanted[si] = {k: np.sort(np.concatenate(v)) for k, v in wmap.items()}
+    _sub("winner_select")
 
     res = postings_ds.map_batches(
         resolve_stats_batch,
@@ -305,15 +333,20 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         pa.table({"stream": pa.array([], pa.uint8()),
                   "hash": pa.array([], pa.int64()),
                   "pattern": pa.array([], pa.binary())})
+    # min-reduce pattern bytes per (stream, hash) with ONE vectorized
+    # arrow group_by — the per-row Python loop this replaces was an
+    # ~8 s serial driver chunk at 5M resolved rows (it scaled with
+    # corpus size and with nothing else)
     resolved: dict[int, dict[int, bytes]] = {0: {}, 1: {}}
-    for si, h, pat in zip(rt.column("stream").to_numpy(),
-                          rt.column("hash").to_numpy(),
-                          rt.column("pattern").to_pylist()):
-        d = resolved[int(si)]
-        hv = int(h) + (1 << 64) if int(h) < 0 else int(h)
-        prev = d.get(hv)
-        if prev is None or pat < prev:
-            d[hv] = pat
+    if rt.num_rows:
+        rmin = (rt.group_by(["stream", "hash"])
+                .aggregate([("pattern", "min")]))
+        for si, h, pat in zip(rmin.column("stream").to_numpy(),
+                              rmin.column("hash").to_numpy(),
+                              rmin.column("pattern_min").to_pylist()):
+            hv = int(h) + (1 << 64) if int(h) < 0 else int(h)
+            resolved[int(si)][hv] = pat
+    _sub("resolve")
 
     out = []
     for si, path in ((0, docs_path), (1, freqs_path)):
@@ -337,6 +370,8 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         pq.write_table(t, tmp)
         os.replace(tmp, path)
         out.append(t)
+    if timings is not None:
+        timings.update(subs)
     return out[0], out[1]
 
 
@@ -485,6 +520,8 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         partial = df_partials(rows_ds)
         if bcfg.vocab_mode == "auto":
             use_join = partial.count() > bcfg.vocab_dataset_threshold
+        stage_secs["vocabulary.df_partials"] = round(time.time() - t, 2)
+        _tv = time.time()
         if use_join:
             write_vocab_parquet(build_vocabulary_ds(rows_ds, partial),
                                 vocab_path)
@@ -494,6 +531,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
             pq.write_table(
                 pa.Table.from_pandas(vocab.terms, preserve_index=False), tmp)
             os.replace(tmp, vocab_path)
+        stage_secs["vocabulary.reduce_write"] = round(time.time() - _tv, 2)
     elif bcfg.vocab_mode == "auto":
         use_join = pq.read_metadata(vocab_path).num_rows > \
             bcfg.vocab_dataset_threshold
@@ -548,10 +586,14 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
         t = _tick("dictionaries", t)
     else:
         # --- stage 5: gap-pattern stats (the mining shuffle, both streams) ---
+        stats_subs: dict[str, float] = {}
         stats_docs, stats_freqs = mine_stats_ray(
             lists_ds, kind,
             os.path.join(out_dir, "stats_docs.parquet"),
-            os.path.join(out_dir, "stats_freqs.parquet"), cfg)
+            os.path.join(out_dir, "stats_freqs.parquet"), cfg,
+            timings=stats_subs)
+        stage_secs.update(
+            {f"pattern_stats.{k}": v for k, v in stats_subs.items()})
         t = _tick("pattern_stats", t)
 
         # --- stage 6: dictionaries (driver; stats are tiny) ---

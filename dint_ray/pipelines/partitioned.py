@@ -308,12 +308,35 @@ def build_serve_direct(pages_path: str, out_dir: str,
     pages = rd.read_parquet(
         pages_path, columns=["doc_id", "html" if from_html else "text"])
 
+    import time as _time
+
+    stage_secs: dict[str, float] = {}
+    _t = _time.time()
+
+    def _tick(name: str) -> None:
+        nonlocal _t
+        now = _time.time()
+        stage_secs[name] = round(now - _t, 2)
+        _t = now
+
+    # rows: same checkpoint policy as the classic build (object store
+    # below the auto threshold — the parquet roundtrip of the string
+    # rows costs more than a re-tokenize at this scale)
     rows_dir = os.path.join(out_dir, "postings_rows")
-    if not _done(rows_dir):
+    ckpt_rows = bcfg.checkpoint_rows
+    if ckpt_rows is None:
+        ckpt_rows = num_docs > 5_000_000
+    if _done(rows_dir):
+        rows_ds = rd.read_parquet(rows_dir)
+    elif ckpt_rows:
         os.makedirs(rows_dir, exist_ok=True)
         tokenize_rows(pages, bcfg, from_html=from_html).write_parquet(rows_dir)
         _mark_done(rows_dir)
-    rows_ds = rd.read_parquet(rows_dir)
+        rows_ds = rd.read_parquet(rows_dir)
+    else:
+        rows_ds = tokenize_rows(pages, bcfg,
+                                from_html=from_html).materialize()
+    _tick("tokenize")
 
     vocab_path = os.path.join(out_dir, "vocab.parquet")
     if os.path.exists(vocab_path):
@@ -324,6 +347,7 @@ def build_serve_direct(pages_path: str, out_dir: str,
         pq.write_table(pa.Table.from_pandas(vocab.terms, preserve_index=False),
                        tmp)
         os.replace(tmp, vocab_path)
+    _tick("vocabulary")
 
     from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
 
@@ -332,6 +356,7 @@ def build_serve_direct(pages_path: str, out_dir: str,
         write_sizes_sorted(doc_sizes(rows_ds), sizes_path)
     total_len, _ = streaming_len_stats(sizes_path)
     avg = float(total_len) / num_docs
+    _tick("doc_sizes")
 
     # ONE exchange: (bucket, term) co-location, vectorized segment slice
     segs_dir = os.path.join(out_dir, "segments")
@@ -352,18 +377,21 @@ def build_serve_direct(pages_path: str, out_dir: str,
             num_cpus=1,
         )
 
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            b = (batch.column("doc_id").to_numpy(zero_copy_only=False)
-                 // width).astype(np.uint32)
-            return batch.append_column("bucket", pa.array(b, pa.uint32()))
-
-        (keyed.map_batches(add_bucket, batch_format="pyarrow")
-         .repartition(_shuffle_width(), keys=["bucket", "term_id"], sort=True)
+        # key on term_id ALONE: bucket = doc_id // width is derivable,
+        # so shipping a bucket column (4 B x every posting) or sorting
+        # in the aggregators buys nothing — _segment_rows_block
+        # recomputes the bucket and lexsorts (bucket, term, doc)
+        # itself.  Measured: the (bucket, term_id) sorted exchange took
+        # 45.8 s at 24 CPUs where the classic term_id exchange of the
+        # same rows took ~19 s.  Same skew bound as the classic single
+        # path (one term's rows land in one partition).
+        (keyed.repartition(_shuffle_width(), keys=["term_id"], sort=False)
          .map_batches(_segment_rows_block, fn_kwargs={"width": width},
                       batch_format="pyarrow", batch_size=None)
          .write_parquet(segs_dir))
         _mark_done(segs_dir)
     segs_ds = rd.read_parquet(segs_dir)
+    _tick("segments")
 
     # dictionaries mined from the SEGMENT gap streams (exactly what
     # gets encoded; bounded buffers — never a whole list)
@@ -373,6 +401,7 @@ def build_serve_direct(pages_path: str, out_dir: str,
         os.path.join(out_dir, "stats_freqs.parquet"), cfg)
     dicts = dicts_from_stats_stage(stats_docs, stats_freqs, kind,
                                    out_dir, cfg)
+    _tick("stats_and_dicts")
 
     os.makedirs(serve_dir, exist_ok=True)
     dicts_ref = ray.put(dicts)
@@ -385,6 +414,7 @@ def build_serve_direct(pages_path: str, out_dir: str,
         concurrency=bcfg.pool_bounds(bcfg.encode_concurrency),
         num_cpus=1)
      .write_parquet(serve_dir, partition_cols=["bucket"]))
+    _tick("encode_segments")
 
     meta = {"num_buckets": num_buckets, "bucket_width": width,
             "num_docs": num_docs, "avg_doc_len": avg}
@@ -396,7 +426,8 @@ def build_serve_direct(pages_path: str, out_dir: str,
                    avg_doc_len=avg, dict_kind=kind, shards=[],
                    extra={"pages_path": os.path.abspath(pages_path),
                           "build_mode": "serve_direct",
-                          "num_buckets": num_buckets})
+                          "num_buckets": num_buckets,
+                          "stage_secs": stage_secs})
     with open(os.path.join(serve_dir, "_SUCCESS"), "w") as f:
         f.write("ok")
     return out_dir

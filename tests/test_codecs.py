@@ -78,6 +78,37 @@ def test_interpolative_single_value():
     assert out[0] == 42
 
 
+def test_interpolative_c_kernel_byte_identical():
+    """native.interp_encode must be byte-for-byte the Python bit
+    writer on every (size, magnitude, known/unknown-sum) combination —
+    it is the hot encoder for partial blocks and direct-build
+    segments, so divergence would corrupt indexes silently."""
+    from dint_ray import native
+    from dint_ray.config import U32_INVALID
+
+    if native.get_lib()[1] is None:
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(17)
+    for _ in range(400):
+        n = int(rng.integers(1, 257))
+        mag = int(rng.choice([2, 16, 1 << 10, 1 << 20, 1 << 27]))
+        g = rng.integers(0, mag, n).astype(np.uint32)
+        for sv in (U32_INVALID, int(g.sum())):
+            py_bw = interpolative._BitWriter()
+            prefix = np.cumsum(g.astype(np.uint64)).tolist()
+            header = b""
+            s = sv
+            if s == U32_INVALID:
+                s = int(prefix[-1])
+                header = varbyte.encode_single(s)
+            py_bw.write_interpolative(prefix, 0, n - 1, 0, s)
+            py = header + py_bw.tobytes()
+            c = native.interp_encode(g, sv)
+            assert c == py, (n, mag, sv)
+
+
 # --------------------------------------------------------------------------
 # Elias-Fano + partitioned sequences (C12 family)
 # --------------------------------------------------------------------------
