@@ -201,6 +201,45 @@ def _segment_rows_block(batch: pa.Table, *, width: int) -> pa.Table:
                          {"bucket": bucket, "term_id": term})
 
 
+def _segment_runs_block(batch: pa.Table, *, width: int) -> pa.Table:
+    """One hash partition of per-block RUNS (term_id, docs, freqs) ->
+    (bucket, term) segment rows with bucket-relative sorted docids.
+    Same output as _segment_rows_block; the run-shaped input is the
+    map-side-combined exchange (~one list row per (term, block) moves
+    instead of one scalar row per posting)."""
+    from dint_ray.postings import _lists_by_key
+
+    if batch.num_rows == 0:
+        return pa.table({
+            "bucket": pa.array([], pa.uint32()),
+            "term_id": pa.array([], pa.uint32()),
+            "docs": pa.array([], pa.list_(pa.uint32())),
+            "freqs": pa.array([], pa.list_(pa.uint32())),
+        })
+    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_col = batch.column("docs").combine_chunks()
+    freqs_col = batch.column("freqs").combine_chunks()
+    d_off = docs_col.offsets.to_numpy()
+    lens = np.diff(d_off)
+    if not len(term) or int(lens.sum()) == 0:
+        return pa.table({
+            "bucket": pa.array([], pa.uint32()),
+            "term_id": pa.array([], pa.uint32()),
+            "docs": pa.array([], pa.list_(pa.uint32())),
+            "freqs": pa.array([], pa.list_(pa.uint32())),
+        })
+    term_flat = np.repeat(term, lens)
+    doc = docs_col.values.to_numpy(zero_copy_only=False)[
+        d_off[0]:d_off[-1]].astype(np.int64)
+    f_off = freqs_col.offsets.to_numpy()
+    tf = freqs_col.values.to_numpy(zero_copy_only=False)[
+        f_off[0]:f_off[-1]].astype(np.int64)
+    bucket = doc // width
+    rel = doc - bucket * width
+    return _lists_by_key([bucket, term_flat, doc], {"docs": rel, "freqs": tf},
+                         {"bucket": bucket, "term_id": term_flat})
+
+
 class _EncodeSegments:
     """Actor-pool encode of (bucket, term) segments: DINT payload over
     the RELATIVE docids + the segment-local max BM25 weight.  Norms are
@@ -379,14 +418,20 @@ def build_serve_direct(pages_path: str, out_dir: str,
 
         # key on term_id ALONE: bucket = doc_id // width is derivable,
         # so shipping a bucket column (4 B x every posting) or sorting
-        # in the aggregators buys nothing — _segment_rows_block
+        # in the aggregators buys nothing — the segment kernel
         # recomputes the bucket and lexsorts (bucket, term, doc)
         # itself.  Measured: the (bucket, term_id) sorted exchange took
-        # 45.8 s at 24 CPUs where the classic term_id exchange of the
-        # same rows took ~19 s.  Same skew bound as the classic single
-        # path (one term's rows land in one partition).
-        (keyed.repartition(_shuffle_width(), keys=["term_id"], sort=False)
-         .map_batches(_segment_rows_block, fn_kwargs={"width": width},
+        # 45.8 s at 24 CPUs where the term_id exchange of the same
+        # rows took ~19 s.  Rows are map-side combined into per-block
+        # runs first (postings.build_posting_lists "single" strategy
+        # rationale): ~one list row per (term, block) rides the
+        # exchange instead of one scalar row per posting.
+        from dint_ray.postings import _merge_rows_block
+
+        runs = keyed.map_batches(_merge_rows_block, batch_format="pyarrow",
+                                 batch_size=None)
+        (runs.repartition(_shuffle_width(), keys=["term_id"], sort=False)
+         .map_batches(_segment_runs_block, fn_kwargs={"width": width},
                       batch_format="pyarrow", batch_size=None)
          .write_parquet(segs_dir))
         _mark_done(segs_dir)

@@ -670,9 +670,20 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
     )
     width = _shuffle_width()
     if strategy == "single":
-        return keyed.repartition(width, keys=["term_id"], sort=True) \
-                    .map_batches(_merge_rows_block, batch_format="pyarrow",
+        # map-side combine BEFORE the exchange: each input block is
+        # collapsed to per-term runs (list rows) by the same
+        # lexsort-slice kernel the reduce side uses, so the exchange
+        # ships ~one list row per (term, block) instead of one scalar
+        # row per posting — same value bytes, ~100x fewer rows through
+        # the hash partitioner/aggregators.  Measured on the 500k-doc
+        # scaling corpus: 56.6 -> 33.0 s at 6 CPUs, 23.9 -> 19.4 s at
+        # 24 (stage wall incl. write), identical output (digest +
+        # oracle entries).
+        runs = keyed.map_batches(_merge_rows_block, batch_format="pyarrow",
                                  batch_size=None)
+        return runs.repartition(width, keys=["term_id"], sort=False) \
+                   .map_batches(_merge_runs_block, batch_format="pyarrow",
+                                batch_size=None)
     runs = keyed.repartition(width, keys=["term_id", "bucket"], sort=True) \
                 .map_batches(_runs_from_block, batch_format="pyarrow",
                              batch_size=None)
