@@ -328,6 +328,97 @@ def _runs_from_block(batch: pa.Table) -> pa.Table:
                          {"term_id": term, "bucket": bucket})
 
 
+def _runs_from_runs_block(batch: pa.Table) -> pa.Table:
+    """(term_id, bucket, docs, freqs) runs — possibly several per
+    (term, bucket) group after the keyed exchange — -> ONE sorted run
+    per group.  The sort happens HERE, where a group is bounded by
+    salt_bucket_docs postings, never over a whole head list."""
+    if batch.num_rows == 0:
+        return batch
+    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_col = batch.column("docs").combine_chunks()
+    freqs_col = batch.column("freqs").combine_chunks()
+    d_off = docs_col.offsets.to_numpy()
+    lens = np.diff(d_off)
+    if int(lens.sum()) == 0:
+        return batch.slice(0, 0)
+    term_f = np.repeat(term, lens)
+    bucket_f = np.repeat(bucket, lens)
+    doc = docs_col.values.to_numpy(zero_copy_only=False)[
+        d_off[0]:d_off[-1]].astype(np.int64)
+    f_off = freqs_col.offsets.to_numpy()
+    tf = freqs_col.values.to_numpy(zero_copy_only=False)[
+        f_off[0]:f_off[-1]].astype(np.int64)
+    return _lists_by_key([term_f, bucket_f, doc], {"docs": doc, "freqs": tf},
+                         {"term_id": term_f, "bucket": bucket_f})
+
+
+def _concat_sorted_runs_block(batch: pa.Table) -> pa.Table:
+    """One sorted run per (term_id, bucket) -> final posting-list rows
+    by ordered CONCAT in (term, first_doc) order — buckets are
+    doc-range-disjoint, so no posting is re-sorted.  Any term whose
+    concatenated docs are not strictly increasing (duplicate groups
+    from an executor-split partition) is rebuilt with the full lexsort
+    merge — correctness never rests on the one-run-per-group
+    assumption."""
+    empty = pa.table({
+        "term_id": pa.array([], pa.uint32()),
+        "docs": pa.array([], pa.list_(pa.uint32())),
+        "freqs": pa.array([], pa.list_(pa.uint32())),
+    })
+    if batch.num_rows == 0:
+        return empty
+    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_col0 = batch.column("docs").combine_chunks()
+    d_off0 = docs_col0.offsets.to_numpy().astype(np.int64)
+    if int(d_off0[-1] - d_off0[0]) == 0:
+        return empty
+    vals0 = docs_col0.values.to_numpy(zero_copy_only=False)
+    first = vals0[d_off0[:-1]].astype(np.int64)
+    order = np.lexsort((first, term))
+    t = batch.take(pa.array(order))
+    docs_col = t.column("docs").combine_chunks()
+    freqs_col = t.column("freqs").combine_chunks()
+    d_off = docs_col.offsets.to_numpy().astype(np.int64)
+    f_off = freqs_col.offsets.to_numpy().astype(np.int64)
+    dvals = docs_col.values.to_numpy(zero_copy_only=False)[d_off[0]:d_off[-1]]
+    fvals = freqs_col.values.to_numpy(zero_copy_only=False)[f_off[0]:f_off[-1]]
+    term_s = term[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(term_s)) + 1))
+    out_terms = term_s[starts]
+    g_off = np.concatenate((d_off[starts], [d_off[-1]])) - d_off[0]
+    g_off_f = np.concatenate((f_off[starts], [f_off[-1]])) - f_off[0]
+    docs_list = pa.ListArray.from_arrays(
+        pa.array(g_off, pa.int32()),
+        pa.array(dvals.astype(np.uint32), pa.uint32()))
+    freqs_list = pa.ListArray.from_arrays(
+        pa.array(g_off_f, pa.int32()),
+        pa.array(fvals.astype(np.uint32), pa.uint32()))
+    out = pa.table({
+        "term_id": pa.array(out_terms.astype(np.uint32), pa.uint32()),
+        "docs": docs_list,
+        "freqs": freqs_list,
+    })
+    # monotonicity audit: a violation inside a list marks its term
+    nd = np.diff(dvals.astype(np.int64))
+    viol = np.flatnonzero(nd <= 0)
+    if len(viol):
+        rows = np.searchsorted(g_off, viol, side="right") - 1
+        within = (viol + 1) < g_off[rows + 1]
+        bad_rows = np.unique(rows[within])
+        if len(bad_rows):
+            bad_terms = out_terms[bad_rows]
+            good_mask = np.ones(out.num_rows, dtype=bool)
+            good_mask[bad_rows] = False
+            fixed = _merge_runs_block(
+                batch.filter(pa.array(np.isin(term, bad_terms))))
+            out = pa.concat_tables(
+                [out.filter(pa.array(good_mask)), fixed],
+                promote_options="default")
+    return out
+
+
 def _merge_rows_block(batch: pa.Table) -> pa.Table:
     """One hash partition of keyed rows -> final posting-list rows in
     ONE kernel: lexsort (term, doc), slice terms via offsets.  The
@@ -684,11 +775,21 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
         return runs.repartition(width, keys=["term_id"], sort=False) \
                    .map_batches(_merge_runs_block, batch_format="pyarrow",
                                 batch_size=None)
-    runs = keyed.repartition(width, keys=["term_id", "bucket"], sort=True) \
-                .map_batches(_runs_from_block, batch_format="pyarrow",
+    # salted, three vectorized hops with NO whole-list sort anywhere:
+    #   A. per-block map-side combine into (term, bucket) runs — no
+    #      exchange, ~one list row per (term, bucket, block) onward;
+    #   B. keyed exchange on (term_id, bucket) + per-group merge — the
+    #      only sort, bounded by salt_bucket_docs postings per group;
+    #   C. keyed exchange on term_id + ordered CONCAT of the
+    #      doc-range-disjoint bucket runs (monotonicity-audited, with
+    #      a lexsort repair for executor-split partitions).
+    runs0 = keyed.map_batches(_runs_from_block, batch_format="pyarrow",
+                              batch_size=None)
+    runs = runs0.repartition(width, keys=["term_id", "bucket"], sort=False) \
+                .map_batches(_runs_from_runs_block, batch_format="pyarrow",
                              batch_size=None)
-    return runs.repartition(width, keys=["term_id"], sort=True) \
-               .map_batches(_merge_runs_block, batch_format="pyarrow",
+    return runs.repartition(width, keys=["term_id"], sort=False) \
+               .map_batches(_concat_sorted_runs_block, batch_format="pyarrow",
                             batch_size=None)
 
 
