@@ -46,6 +46,11 @@ def main() -> int:
                          "buckets DIRECTLY (no whole posting list in "
                          "any task — the bounded-memory route); the "
                          "output serves via scripts/serve_queries.py")
+    ap.add_argument("--export-blobs", action="store_true",
+                    help="after the build, export each parquet shard "
+                         "as a single mmap-able blob with an Elias-"
+                         "Fano endpoint directory (the reference's "
+                         "frozen-image layout, dict_freq_index.hpp:96)")
     args = ap.parse_args()
 
     import os
@@ -79,6 +84,11 @@ def main() -> int:
         args.pages, args.out, kind=args.kind, num_shards=args.num_shards,
         from_html=args.from_html, text_col=args.text_col, id_col=args.id_col)
     print(json.dumps({k: v for k, v in manifest.items() if k != "shards"}))
+
+    if args.export_blobs:
+        from dint_ray.index.blob import export_shards_to_blobs
+
+        print(json.dumps({"blobs": export_shards_to_blobs(args.out)}))
 
     if args.verify:
         from dint_ray.pipelines.verify import verify_index_ray
