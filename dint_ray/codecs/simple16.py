@@ -1,13 +1,26 @@
-"""Simple16 word-aligned block codec.
+"""Simple16 word-aligned block codec (published s16 wire format).
 
-Behavior of the reference's ``simple16_block``
-(/root/reference/include/ds2i/block_codecs.hpp:404-433, backed by
-FastPFor's Simple16): each 32-bit output word carries a 4-bit selector
-plus 28 payload bits holding as many values as the densest applicable
-configuration allows.  The 16 configurations below follow the standard
-Simple16 table (counts x bit-widths, in order); the bit layout is an
-internal contract of this engine (roundtrip-exact), not a byte-level
-clone of the vendored SIMD library.
+Mirrors the behavior of the reference's ``simple16_block``
+(/root/reference/include/ds2i/block_codecs.hpp:404-433), which wraps
+FastPFor's ``Simple16<false>`` — itself the s16 scheme of Zhang, Long
+& Suel (WWW'08).  This module implements the published s16 reference
+format directly:
+
+- each 32-bit little-endian word carries a 4-bit selector in its top
+  bits plus 28 payload bits;
+- the selector indexes the canonical 16-row table below (counts x
+  bit-widths, in order); values are packed LSB-first (the first value
+  of a word occupies its lowest payload bits), exactly like the
+  published s16 encoder;
+- encoding greedily picks the first selector (from 0) whose widths
+  fit the next ``min(count, remaining)`` values; trailing slots of the
+  final word are left zero and the decoder stops after ``n`` values.
+
+The vendored FastPFor sources are not present in the reference
+checkout (empty submodule), so unlike qmx.py this cannot be pinned
+byte-for-byte against a compiled reference; the layout here follows
+the published s16 code, validated by hand-built vectors in
+tests/test_codecs.py.
 """
 
 from __future__ import annotations
@@ -16,10 +29,11 @@ import numpy as np
 
 from dint_ray.config import U32_INVALID
 
-# (count, width) runs per selector; payload bits sum to <= 28
+# canonical s16 table: (count, width) runs per selector, 28 bits each
 CONFIGS: list[list[tuple[int, int]]] = [
     [(28, 1)],
     [(7, 2), (14, 1)],
+    [(7, 1), (7, 2), (7, 1)],
     [(14, 1), (7, 2)],
     [(14, 2)],
     [(1, 4), (8, 3)],
@@ -33,23 +47,10 @@ CONFIGS: list[list[tuple[int, int]]] = [
     [(1, 10), (2, 9)],
     [(2, 14)],
     [(1, 28)],
-    [(1, 28)],  # selector 15: same as 14 (escape slot)
 ]
 
 _WIDTHS = [[w for c, w in cfg for _ in range(c)] for cfg in CONFIGS]
 _COUNTS = [len(ws) for ws in _WIDTHS]
-
-
-def _fits(values: np.ndarray, start: int, sel: int) -> int:
-    """How many values from ``start`` fit config ``sel`` (all or 0)."""
-    ws = _WIDTHS[sel]
-    n = min(len(ws), len(values) - start)
-    if n == 0:
-        return 0
-    for i in range(n):
-        if int(values[start + i]) >= (1 << ws[i]):
-            return 0
-    return n
 
 
 def encode(values: np.ndarray, sum_of_values: int = U32_INVALID) -> bytes:
@@ -61,8 +62,8 @@ def encode(values: np.ndarray, sum_of_values: int = U32_INVALID) -> bytes:
     n = len(v)
     while pos < n:
         for sel in range(16):
-            # a config applies if it packs min(remaining, count) values
-            # (trailing slots of the last word are wasted, as usual)
+            # a selector applies if it packs min(remaining, count)
+            # values (trailing slots of the last word stay zero)
             take = min(_COUNTS[sel], n - pos)
             ok = True
             ws = _WIDTHS[sel]
@@ -72,14 +73,14 @@ def encode(values: np.ndarray, sum_of_values: int = U32_INVALID) -> bytes:
                     break
             if ok:
                 word = sel << 28
-                shift = 28
+                shift = 0
                 for i in range(take):
-                    shift -= ws[i]
                     word |= int(v[pos + i]) << shift
+                    shift += ws[i]
                 words.append(word)
                 pos += take
                 break
-        else:  # pragma: no cover - selector 14 always fits < 2^28
+        else:  # pragma: no cover - selector 15 always fits < 2^28
             raise AssertionError("no simple16 selector applied")
     return np.asarray(words, dtype="<u4").tobytes()
 
@@ -94,9 +95,9 @@ def decode(buf: np.ndarray, offset: int, sum_of_values: int, n: int):
         sel = word >> 28
         ws = _WIDTHS[sel]
         take = min(len(ws), n - got)
-        shift = 28
+        shift = 0
         for i in range(take):
-            shift -= ws[i]
             out[got + i] = (word >> shift) & ((1 << ws[i]) - 1)
+            shift += ws[i]
         got += take
     return out, off

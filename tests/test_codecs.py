@@ -45,6 +45,33 @@ def test_simple16_rejects_over_28_bits():
         simple16.encode(np.array([1 << 28], dtype=np.uint32), U32_INVALID)
 
 
+def test_simple16_published_wire_vectors():
+    """Hand-built words per the published s16 format (WWW'08 reference
+    code): 4-bit selector in the top bits, values packed LSB-first."""
+    def words(vals):
+        return np.frombuffer(
+            simple16.encode(np.array(vals, np.uint32), U32_INVALID), "<u4")
+
+    # 28 one-bit values -> selector 0, payload bits 0..27 all set
+    np.testing.assert_array_equal(words([1] * 28), [0x0FFFFFFF])
+    # 14 values of 3 -> selector 4 (14x2), every 2-bit field = 0b11
+    np.testing.assert_array_equal(words([3] * 14), [0x4FFFFFFF])
+    # mixed widths hit selector 2 (7x1, 7x2, 7x1): first seven 1-bit
+    # values at bits 0..6, seven 2-bit at 7..20, seven 1-bit at 21..27
+    v = [1] * 7 + [2] * 7 + [0] * 7
+    expect = (2 << 28) | 0x7F | (0b10101010101010 << 7)
+    np.testing.assert_array_equal(words(v), [expect])
+    # a lone value of 5 first fits selector 5 (widths 4,3,3,...)
+    np.testing.assert_array_equal(words([5]), [(5 << 28) | 5])
+    # single 28-bit value -> selector 15
+    np.testing.assert_array_equal(
+        words([(1 << 28) - 1]), [(15 << 28) | ((1 << 28) - 1)])
+    # greedy split: 28 ones then a 14-bit value -> selector 0 word
+    # followed by a selector-14 word (2x14) holding [9999, 0]
+    np.testing.assert_array_equal(
+        words([1] * 28 + [9999]), [0x0FFFFFFF, (14 << 28) | 9999])
+
+
 def test_varintgb_full_range():
     values = np.array([0, 255, 256, 65535, 65536, 2**24 - 1, 2**24,
                        2**32 - 1, 7], dtype=np.uint32)
