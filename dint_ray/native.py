@@ -1027,6 +1027,85 @@ int64_t dint_opt_encode(const uint32_t *buf, int64_t n,
     }
     return p - out;
 }
+
+/* ---- batched MD5 (RFC 1321) --------------------------------------
+   One call hashes every string of a batch: `data` is the
+   concatenation, `offsets` (n+1) delimit the strings, `out` receives
+   16 digest bytes per string.  Used by the dedup operators, whose
+   per-shingle hashlib round-trips dominate MinHash signature cost
+   (one Python call + object churn per 20-byte shingle).  The round
+   constants are derived at call time from the spec's own formula
+   K[i] = floor(abs(sin(i+1)) * 2^32), so there is no table to
+   mistranscribe. */
+#include <math.h>
+#include <string.h>
+
+static uint32_t md5_rotl(uint32_t x, int c) {
+    return (x << c) | (x >> (32 - c));
+}
+
+static void md5_block(const uint8_t *p, uint32_t *st, const uint32_t *K) {
+    static const int S[64] = {
+        7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+        5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20,
+        4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+        6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21};
+    uint32_t M[16];
+    int i;
+    for (i = 0; i < 16; i++)
+        M[i] = (uint32_t)p[4 * i] | ((uint32_t)p[4 * i + 1] << 8)
+             | ((uint32_t)p[4 * i + 2] << 16)
+             | ((uint32_t)p[4 * i + 3] << 24);
+    uint32_t A = st[0], B = st[1], C = st[2], D = st[3];
+    for (i = 0; i < 64; i++) {
+        uint32_t F;
+        int g;
+        if (i < 16)      { F = (B & C) | (~B & D); g = i; }
+        else if (i < 32) { F = (D & B) | (~D & C); g = (5 * i + 1) & 15; }
+        else if (i < 48) { F = B ^ C ^ D;          g = (3 * i + 5) & 15; }
+        else             { F = C ^ (B | ~D);       g = (7 * i) & 15; }
+        F += A + K[i] + M[g];
+        A = D; D = C; C = B;
+        B += md5_rotl(F, S[i]);
+    }
+    st[0] += A; st[1] += B; st[2] += C; st[3] += D;
+}
+
+void md5_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
+               uint8_t *out) {
+    uint32_t K[64];
+    int i;
+    for (i = 0; i < 64; i++)
+        K[i] = (uint32_t)(fabs(sin((double)(i + 1))) * 4294967296.0);
+    int64_t r;
+    for (r = 0; r < n; r++) {
+        const uint8_t *msg = data + offsets[r];
+        uint64_t len = (uint64_t)(offsets[r + 1] - offsets[r]);
+        uint32_t st[4] = {0x67452301u, 0xefcdab89u,
+                          0x98badcfeu, 0x10325476u};
+        uint64_t full = len / 64, b;
+        for (b = 0; b < full; b++)
+            md5_block(msg + 64 * b, st, K);
+        uint8_t tail[128];
+        uint64_t rem = len - full * 64;
+        memset(tail, 0, sizeof(tail));
+        memcpy(tail, msg + full * 64, rem);
+        tail[rem] = 0x80;
+        int tlen = rem < 56 ? 64 : 128;
+        uint64_t bits = len * 8;
+        for (i = 0; i < 8; i++)
+            tail[tlen - 8 + i] = (uint8_t)(bits >> (8 * i));
+        md5_block(tail, st, K);
+        if (tlen == 128)
+            md5_block(tail + 64, st, K);
+        for (i = 0; i < 4; i++) {
+            out[16 * r + i]      = (uint8_t)(st[0] >> (8 * i));
+            out[16 * r + 4 + i]  = (uint8_t)(st[1] >> (8 * i));
+            out[16 * r + 8 + i]  = (uint8_t)(st[2] >> (8 * i));
+            out[16 * r + 12 + i] = (uint8_t)(st[3] >> (8 * i));
+        }
+    }
+}
 """
 
 _CDEF = """
@@ -1075,6 +1154,8 @@ int64_t maxscore_compressed_query(
         const uint64_t *f_offs, const uint64_t *f_tabs,
         const float *norms, uint32_t universe, int k,
         int64_t *out_docs, float *out_scores);
+void md5_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
+               uint8_t *out);
 """
 
 _lib = None
@@ -1105,7 +1186,7 @@ def _build_and_load():
             # (no fused multiply-add), or scores drift from the
             # decoded/Python paths
             ["cc", "-O2", "-ffp-contract=off", "-shared", "-fPIC",
-             "-o", tmp_so, c_path],
+             "-o", tmp_so, c_path, "-lm"],
             check=True, capture_output=True)
         os.replace(tmp_so, so_path)
     ffi = cffi.FFI()
@@ -1229,6 +1310,25 @@ def interp_encode(gaps: np.ndarray, sum_of_values: int) -> bytes | None:
     if got < 0:
         return None
     return out[:got].tobytes()
+
+
+def md5_batch(data: bytes, offsets: np.ndarray) -> np.ndarray | None:
+    """16-byte MD5 digests for every slice of ``data`` delimited by
+    ``offsets`` (int64, len n+1), as an (n, 16) uint8 array.  Output is
+    bit-identical to hashlib.md5 per slice (asserted in tests) — the
+    dedup operators' DuckDB md5() oracles keep matching.  None -> no
+    compiler; callers fall back to hashlib."""
+    ffi, lib = get_lib()
+    if lib is None:
+        return None
+    n = len(offsets) - 1
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty((n, 16), dtype=np.uint8)
+    lib.md5_batch(
+        ffi.cast("const uint8_t *", ffi.from_buffer(data)),
+        ffi.cast("const int64_t *", offsets.ctypes.data), n,
+        ffi.cast("uint8_t *", out.ctypes.data))
+    return out
 
 
 def run_topk(algo: str, lists, k: int, universe: int, blocks=None):

@@ -45,18 +45,27 @@ def _digest_rows(batch: pa.Table) -> pa.Table:
     """(doc_id, crc32, byte length, md5) per doc — 28 B of fixed-width
     group key instead of the full text, so the dedup exchange ships
     ~the digest size rather than ~the corpus size."""
-    import hashlib
+    from dint_ray import native
 
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     texts = batch.column("text").to_pylist()
     crc = np.empty(len(texts), dtype=np.int64)
     lens = np.empty(len(texts), dtype=np.int64)
-    md5s = []
+    enc = []
     for i, t in enumerate(texts):
         b = t.encode()
         crc[i] = zlib.crc32(b)
         lens[i] = len(b)
-        md5s.append(hashlib.md5(b).digest())
+        enc.append(b)
+    offs = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    raw = native.md5_batch(b"".join(enc), offs) if enc else None
+    if raw is not None:
+        md5s = [raw[i].tobytes() for i in range(len(enc))]
+    else:
+        import hashlib
+
+        md5s = [hashlib.md5(b).digest() for b in enc]
     return pa.table({
         "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
         "crc": pa.array(crc, pa.int64()),
@@ -120,10 +129,23 @@ def _md5_u64(shingles) -> np.ndarray:
     frombuffer for the whole set instead of hexdigest + int(hex, 16)
     per shingle.  int(hexdigest[:15], 16) == u64 >> 4 and
     int(hexdigest[:8], 16) == u64 >> 32 (verified bit-identical), so
-    the DuckDB md5 oracles keep matching."""
+    the DuckDB md5 oracles keep matching.  Hashing goes through the
+    batched C md5 kernel when available (native.md5_batch, asserted
+    hashlib-identical in tests): the per-shingle hashlib round-trip is
+    the single largest cost of MinHash signatures at corpus scale."""
+    from dint_ray import native
+
+    enc = [s.encode() for s in shingles]
+    raw = None
+    if len(enc) >= 4:
+        offs = np.zeros(len(enc) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in enc], out=offs[1:])
+        raw = native.md5_batch(b"".join(enc), offs)
+    if raw is not None:
+        return raw[:, :8].reshape(-1).view(">u8").astype(np.uint64)
     import hashlib
 
-    buf = b"".join(hashlib.md5(s.encode()).digest()[:8] for s in shingles)
+    buf = b"".join(hashlib.md5(e).digest()[:8] for e in enc)
     return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
 
 
@@ -150,6 +172,44 @@ def minhash_signature(sid32: np.ndarray, num_hashes: int = 64) -> np.ndarray:
     return hv.min(axis=0)
 
 
+def _batch_signatures(texts: list[str], shingle_k: int,
+                      num_hashes: int) -> np.ndarray:
+    """(len(texts), num_hashes) MinHash signatures, value-identical to
+    per-doc minhash_signature (same (a*x+b) mod p per shingle, same
+    min) but with the hash matrix built for many docs at a time and
+    reduced per-doc via minimum.reduceat — one numpy dispatch per
+    ~64k-shingle chunk instead of four per document."""
+    if not texts:
+        return np.empty((0, num_hashes), np.uint64)
+    a, b = _mh_params(num_hashes)
+    sids = [_shingle_digests(t, shingle_k)[1] for t in texts]
+    counts = np.array([len(s) for s in sids], dtype=np.int64)
+    sigs = np.full((len(texts), num_hashes), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    nonempty = np.flatnonzero(counts)
+    if not len(nonempty):
+        return sigs
+    # chunk so the (shingles x num_hashes) hash matrix stays ~32 MB
+    max_shingles = max(1, (1 << 22) // num_hashes)
+    start = 0
+    while start < len(nonempty):
+        end = start
+        total = 0
+        while end < len(nonempty) and (end == start
+                                       or total + counts[nonempty[end]]
+                                       <= max_shingles):
+            total += counts[nonempty[end]]
+            end += 1
+        docs = nonempty[start:end]
+        allx = np.concatenate([sids[i] for i in docs])
+        hv = (allx[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
+        starts = np.zeros(len(docs), dtype=np.int64)
+        np.cumsum(counts[docs][:-1], out=starts[1:])
+        sigs[docs] = np.minimum.reduceat(hv, starts, axis=0)
+        start = end
+    return sigs
+
+
 class MinHasher:
     """doc batch -> exploded (band_id, band_key, doc_id) rows.
 
@@ -168,66 +228,167 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        sigs = np.stack([
-            minhash_signature(_shingle_digests(t, self.shingle_k)[1],
-                              self.num_hashes)
-            for t in texts]) if len(texts) else np.empty((0, self.num_hashes),
-                                                         np.uint64)
-        out_band, out_key, out_doc = [], [], []
-        for bnd in range(self.bands):
-            seg = sigs[:, bnd * self.rows : (bnd + 1) * self.rows]
-            seg_be = seg.astype(">u8")
-            out_key.extend(row.tobytes() for row in seg_be)
-            out_band.extend([bnd] * len(ids))
-            out_doc.extend(ids.tolist())
+        sigs = _batch_signatures(texts, self.shingle_k, self.num_hashes)
+        n = len(ids)
+        # (bands*n, rows) big-endian minima matrix -> one uniform-width
+        # binary column built straight from its byte buffer (the former
+        # per-row tobytes() was ~8M Python objects per 500k-doc corpus)
+        segs = np.concatenate([
+            sigs[:, b * self.rows:(b + 1) * self.rows].astype(">u8")
+            for b in range(self.bands)]) if n else np.empty(
+                (0, self.rows), ">u8")
+        key_arr = _binary_from_matrix(segs.tobytes(), 8 * self.rows,
+                                      self.bands * n)
         return pa.table({
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_key, pa.binary()),
-            "doc_id": pa.array(np.asarray(out_doc, np.int64), pa.int64()),
+            "band_id": pa.array(
+                np.repeat(np.arange(self.bands, dtype=np.int32), n),
+                pa.int32()),
+            "band_hash": key_arr,
+            "doc_id": pa.array(np.tile(ids.astype(np.int64), self.bands),
+                               pa.int64()),
         })
 
 
-_PAIR_BUCKETS = 64
+_PAIR_BUCKETS = 256
+
+
+def _binary_from_matrix(buf: bytes, width: int, n: int) -> pa.Array:
+    """Uniform-width binary array straight from a byte buffer (no
+    per-row Python bytes objects)."""
+    offsets = pa.py_buffer(
+        (np.arange(n + 1, dtype=np.int32) * width).tobytes())
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offsets, pa.py_buffer(buf)])
+
+
+def _fixed_width_bytes(col: pa.ChunkedArray | pa.Array):
+    """(matrix, width) uint8 view of a uniform-width binary column, or
+    (None, 0) when widths vary (then callers take the Python path)."""
+    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+           else col)
+    if arr.null_count or len(arr) == 0:
+        return None, 0
+    offs = np.frombuffer(arr.buffers()[1], np.int32,
+                         len(arr) + 1, arr.offset * 4)
+    widths = np.diff(offs)
+    if not len(widths) or widths.min() != widths.max() or widths[0] == 0:
+        return None, 0
+    w = int(widths[0])
+    data = np.frombuffer(arr.buffers()[2], np.uint8,
+                         len(arr) * w, offs[0])
+    return data.reshape(len(arr), w), w
 
 
 def _add_pair_bucket(batch: pa.Table) -> pa.Table:
     """Coarse shuffle key: co-locates equal (band_id, band_hash) rows
     while keeping the group count bounded (one UDF call per bucket,
     not per band value).  band_hash may be int64 (simhash) or binary
-    (minhash band tuples)."""
+    (minhash band tuples).  The bucket function only needs to be
+    deterministic on (band_id, band_hash); no oracle observes it."""
     band = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
     col = batch.column("band_hash")
     if pa.types.is_binary(col.type):
-        h = np.asarray([zlib.crc32(v) for v in col.to_pylist()], dtype=np.int64)
+        mat, w = _fixed_width_bytes(col)
+        if mat is not None and w >= 8:
+            h = mat[:, :8].copy().view(">u8").reshape(-1).astype(np.int64)
+        else:
+            h = np.asarray([zlib.crc32(v) for v in col.to_pylist()],
+                           dtype=np.int64)
     else:
         h = col.to_numpy(zero_copy_only=False)
     b = ((h * 1000003 + band) % _PAIR_BUCKETS).astype(np.int32)
     return batch.append_column("bucket", pa.array(b, pa.int32()))
 
 
-def _pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """Emit candidate pairs for every (band_id, band_hash) group inside
-    one bucket; grouping runs in pandas' C path."""
+def _pairs_from_rows(batch: pa.Table) -> pa.Table:
+    """Emit candidate pairs for every (band_id, band_hash) group in a
+    hash partition: byte-key memcmp sort + vectorized run detection,
+    Python only over COLLIDED groups (the singleton majority never
+    enters a loop).  Partitioning contract: all rows of one
+    (band_id, band_hash) value must arrive in this batch — guaranteed
+    by the keys= repartition upstream as long as a partition stays
+    under the executor block-split threshold (partition count is sized
+    for that in minhash_candidates_ds)."""
+    docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    n = len(docs)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+    if n < 2:
+        return empty
+    band = batch.column("band_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    col = batch.column("band_hash")
+    if pa.types.is_binary(col.type):
+        mat, w = _fixed_width_bytes(col)
+        if mat is None:
+            # varied widths: pad to the max and add the true length as
+            # its own key column so b"ab" never collides with b"ab\0"
+            blobs = col.to_pylist()
+            w = max((len(v) for v in blobs), default=0)
+            wpad = max(8, -(-w // 8) * 8)
+            mat = np.zeros((n, wpad), np.uint8)
+            lens = np.empty(n, np.int64)
+            for i, v in enumerate(blobs):
+                mat[i, :len(v)] = np.frombuffer(v, np.uint8)
+                lens[i] = len(v)
+        else:
+            wpad = -(-w // 8) * 8
+            if wpad != w:
+                m2 = np.zeros((n, wpad), np.uint8)
+                m2[:, :w] = mat
+                mat = m2
+            lens = None
+        ku = np.ascontiguousarray(mat).view(">u8").reshape(n, wpad // 8)
+        cols = [band] + ([lens] if lens is not None else []) \
+            + [ku[:, j] for j in range(ku.shape[1])]
+    else:
+        cols = [band, col.to_numpy(zero_copy_only=False).astype(np.uint64)]
+    keymat = np.column_stack([c.astype(np.uint64) for c in cols])
+    order = np.lexsort(tuple(keymat[:, j] for j in
+                             range(keymat.shape[1] - 1, -1, -1)))
+    sk = keymat[order]
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+    starts = np.flatnonzero(new_grp)
+    sizes = np.diff(np.append(starts, n))
     out_a, out_b = [], []
-    for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
-        docs = np.sort(grp["doc_id"].to_numpy())
-        if len(docs) < 2:
-            continue
-        a, b = np.triu_indices(len(docs), k=1)
-        out_a.append(docs[a])
-        out_b.append(docs[b])
+    sorted_docs = docs[order]
+    for s, size in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        grp = np.sort(sorted_docs[s:s + size])
+        a, b = np.triu_indices(size, k=1)
+        out_a.append(grp[a])
+        out_b.append(grp[b])
     if not out_a:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64)})
-    return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                         "doc_b": np.concatenate(out_b)})
+        return empty
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(out_a).astype(np.int64),
+                          pa.int64()),
+        "doc_b": pa.array(np.concatenate(out_b).astype(np.int64),
+                          pa.int64()),
+    })
+
+
+def _derived_concurrency(floor: int = 8) -> int:
+    """Actor-pool ceiling that follows the live cluster instead of a
+    hardcoded 8 (which left 2/3 of a 24-CPU host idle in the signature
+    stage at 500k docs)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(floor, int(ray.cluster_resources().get("CPU", floor)))
+    except Exception:  # pragma: no cover - ray absent
+        pass
+    return floor
 
 
 def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
-                          concurrency: int = 8):
+                          concurrency: int | None = None):
     """LSH candidate pairs (may include false positives; verify after)."""
     import dint_ray
     dint_ray.ensure_tuned()
+    concurrency = concurrency or _derived_concurrency()
     exploded = docs_ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_hashes": num_hashes,
@@ -235,9 +396,16 @@ def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
         batch_format="pyarrow", batch_size=1024,
         concurrency=(1, concurrency), num_cpus=1,
     )
+    # one hash partition per map task: every (band_id, band_hash)
+    # group lands whole in one _pairs_from_rows batch (batch_size=None
+    # -> per-block).  Partition count scales with the cluster, capped
+    # by the bucket count; each partition stays far below the
+    # executor's block-split threshold (bands * ndocs rows / nparts).
+    nparts = min(_PAIR_BUCKETS, max(16, _derived_concurrency()))
     pairs = (exploded.map_batches(_add_pair_bucket, batch_format="pyarrow")
-             .groupby("bucket")
-             .map_groups(_pairs_from_bucket, batch_format="pandas"))
+             .repartition(nparts, keys=["bucket"], sort=False)
+             .map_batches(_pairs_from_rows, batch_format="pyarrow",
+                          batch_size=None, num_cpus=1))
     return pairs
 
 
@@ -285,8 +453,9 @@ def _verify_jaccard(batch: pa.Table, *, threshold: float) -> pa.Table:
 
 
 def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
-                           bands=16, threshold=0.8, concurrency: int = 8,
-                           num_partitions: int = 16):
+                           bands=16, threshold=0.8,
+                           concurrency: int | None = None,
+                           num_partitions: int | None = None):
     """LSH candidates -> exact-Jaccard verification via two distributed
     hash joins (pairs x shingle-sets on doc_a, then doc_b) — no corpus
     broadcast anywhere, so the verify scales with the candidate count
@@ -298,6 +467,9 @@ def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
     dint_ray.ensure_tuned()
     from ray.data.aggregate import Count
 
+    concurrency = concurrency or _derived_concurrency()
+    num_partitions = num_partitions or min(64, max(16,
+                                                   _derived_concurrency()))
     cands = minhash_candidates_ds(docs_ds, num_hashes, shingle_k, bands,
                                   concurrency)
     # dedupe candidate pairs before the (expensive) verify: native
@@ -311,10 +483,34 @@ def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
             .select_columns(["doc_a", "doc_b"])
             .map_batches(_typed_pairs, batch_format="pyarrow")
             .materialize())
+    # semi-join: the verify (and both joins below) only ever touch
+    # docs that appear in a candidate pair, so don't shingle-hash the
+    # whole corpus.  The distinct candidate-doc ids are small (pairs
+    # are already deduped); they ride the object store once (ray.put)
+    # and each batch filters by sorted-array searchsorted.  Above the
+    # cap the filter is skipped — then cost degrades to corpus-bound,
+    # exactly the previous behavior.
+    import ray as _ray
+
+    cand_ids: set = set()
+    for b in uniq.iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(cand_ids) > _SEMIJOIN_MAX_DOCS:
+            break
+        cand_ids.update(b.column("doc_a").to_pylist())
+        cand_ids.update(b.column("doc_b").to_pylist())
+    if not cand_ids:
+        return uniq  # no candidates anywhere: empty (doc_a, doc_b)
+    docs_side = docs_ds
+    if len(cand_ids) <= _SEMIJOIN_MAX_DOCS:
+        ids_ref = _ray.put(np.sort(np.fromiter(cand_ids, np.int64,
+                                               len(cand_ids))))
+        docs_side = docs_ds.map_batches(
+            _keep_candidate_docs, fn_kwargs={"ids_ref": ids_ref},
+            batch_format="pyarrow", num_cpus=0.5)
     # shingle sets are computed ONCE and reused by both join sides
     # (object-store copy, spillable) instead of re-running _ShingleSets
     # in two branches of one fused plan
-    sh = docs_ds.map_batches(
+    sh = docs_side.map_batches(
         _ShingleSets, fn_constructor_kwargs={"k": shingle_k},
         batch_format="pyarrow", batch_size=1024,
         concurrency=(1, concurrency), num_cpus=1).materialize()
@@ -325,6 +521,22 @@ def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
     return j2.map_batches(_verify_jaccard, fn_kwargs={"threshold": threshold},
                           batch_format="pyarrow", batch_size=4096,
                           num_cpus=1)
+
+
+# above this many distinct candidate docs, skip the semi-join filter
+# (the sorted-id broadcast would rival the corpus) and hash everything
+_SEMIJOIN_MAX_DOCS = 5_000_000
+
+
+def _keep_candidate_docs(batch: pa.Table, *, ids_ref) -> pa.Table:
+    """Keep only rows whose doc_id is in the broadcast sorted id array
+    (zero-copy plasma read per batch, searchsorted membership)."""
+    import ray
+
+    arr = ray.get(ids_ref)
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = np.clip(np.searchsorted(arr, d), 0, len(arr) - 1)
+    return batch.filter(pa.array(arr[pos] == d))
 
 
 def _typed_pairs(batch: pa.Table) -> pa.Table:

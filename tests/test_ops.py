@@ -178,3 +178,55 @@ def test_ngram_jaccard_guard_above_max_df_is_exact():
          dedup.ngram_jaccard_pairs_ds(ds, threshold=0.4,
                                       max_shingle_df=0).take_all()}
     assert a == b and (0, 1) in a
+
+
+def test_native_md5_batch_matches_hashlib():
+    """The C md5 kernel must be bit-identical to hashlib (the dedup
+    DuckDB md5() oracles depend on it), including the padding edges
+    at 55/56/64/119/120 bytes."""
+    import hashlib
+
+    from dint_ray import native
+
+    if not native.available():  # pragma: no cover - no compiler
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(5)
+    strs = [b"", b"a", b"x" * 55, b"x" * 56, b"x" * 63, b"x" * 64,
+            b"x" * 65, b"x" * 119, b"x" * 120, b"x" * 200]
+    strs += [rng.bytes(int(rng.integers(0, 300))) for _ in range(500)]
+    offs = np.zeros(len(strs) + 1, np.int64)
+    np.cumsum([len(s) for s in strs], out=offs[1:])
+    out = native.md5_batch(b"".join(strs), offs)
+    for i, s in enumerate(strs):
+        assert out[i].tobytes() == hashlib.md5(s).digest()
+
+
+def test_batch_signatures_match_per_doc():
+    """_batch_signatures (reduceat path) == minhash_signature per doc,
+    including empty-shingle docs (max-filled signature)."""
+    rng = np.random.default_rng(9)
+    texts = ["", "one", "a b c d e f g h"]
+    texts += [" ".join(f"w{int(x)}" for x in rng.integers(0, 50, n))
+              for n in rng.integers(1, 200, 30)]
+    got = dedup._batch_signatures(texts, 3, 64)
+    for i, t in enumerate(texts):
+        want = dedup.minhash_signature(
+            dedup._shingle_digests(t, 3)[1], 64)
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_batch_signatures_chunking():
+    """Chunk boundaries must not change results: num_hashes=2**21
+    would give max_shingles=2, so use a wide num_hashes to force many
+    small chunks over the same docs."""
+    texts = [f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}"
+             for i in range(12)]
+    wide = 1 << 20  # max_shingles = 4 -> several docs per chunk max
+    a = dedup._batch_signatures(texts, 3, wide)
+    assert a.shape == (len(texts), wide)
+    for i in (0, 5, 11):
+        want = dedup.minhash_signature(
+            dedup._shingle_digests(texts[i], 3)[1], wide)
+        np.testing.assert_array_equal(a[i], want)
