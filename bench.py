@@ -403,6 +403,20 @@ def run_scaling_inner(cpus: int) -> dict:
         runs_all["ranked_or_fast"].append(
             round(SCALING_QUERIES / (_t.time() - t0), 1))
     serve["ranked_or_fast"] = max(runs_all["ranked_or_fast"])
+    # LLM-ops legs: MinHash-LSH near-dup and digest-keyed exact dedup
+    # over the same 500k-page corpus — the dedup path is first-class at
+    # 100 TB, so it gets a scaling number alongside build/serve
+    import ray.data as _rd
+
+    from dint_ray.ops.dedup import exact_dedup_ds, minhash_dedup_pairs_ds
+
+    t0 = _t.time()
+    minhash_pairs = minhash_dedup_pairs_ds(
+        _rd.read_parquet(pages)).count()
+    minhash_sec = _t.time() - t0
+    t0 = _t.time()
+    exact_kept = exact_dedup_ds(_rd.read_parquet(pages)).count()
+    exact_sec = _t.time() - t0
     ray.shutdown()
     return {
         "num_cpus": cpus,
@@ -415,6 +429,10 @@ def run_scaling_inner(cpus: int) -> dict:
         "wand_queries_per_sec": serve["wand"],
         "wand_compressed_queries_per_sec": serve["wand_compressed"],
         "fast_queries_per_sec": serve["ranked_or_fast"],
+        "minhash_docs_per_sec": round(SCALING_DOCS / minhash_sec, 1),
+        "minhash_pairs": minhash_pairs,
+        "exact_dedup_docs_per_sec": round(SCALING_DOCS / exact_sec, 1),
+        "exact_dedup_kept": exact_kept,
         "serve_runs": runs_all,
         "owner_utilization": owner_util,
         "loadavg_before_runs": loadavg,
@@ -474,6 +492,13 @@ def run_scaling() -> dict:
                                  str(hi): rhi["fast_queries_per_sec"]},
         "build_efficiency": eff("build_docs_per_sec"),
         "build_salted_efficiency": eff("build_salted_docs_per_sec"),
+        "minhash_docs_per_sec": {str(lo): rlo["minhash_docs_per_sec"],
+                                 str(hi): rhi["minhash_docs_per_sec"]},
+        "minhash_dedup_efficiency": eff("minhash_docs_per_sec"),
+        "exact_dedup_docs_per_sec": {
+            str(lo): rlo["exact_dedup_docs_per_sec"],
+            str(hi): rhi["exact_dedup_docs_per_sec"]},
+        "exact_dedup_efficiency": eff("exact_dedup_docs_per_sec"),
         "salted_digest_match": (rlo["salted_digest_match"]
                                 and rhi["salted_digest_match"]),
         "wand_serve_efficiency": eff("wand_queries_per_sec"),
