@@ -375,27 +375,46 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
     return out[0], out[1]
 
 
+def _build_dict_one(table: pa.Table, kind: str, cfg: DintConfig):
+    total = int(table.column("total_ints_global")[0].as_py()) if len(table) else 0
+    ctx = table.column("ctx").to_numpy()
+    pats = table.column("pattern").to_pylist()
+    freqs = table.column("freq").to_numpy()
+    if kind in ("single_packed", "single_rect"):
+        from dint_ray.dint.dictionary import build_rect_single
+
+        counts = {p: int(f) for p, f in zip(pats, freqs)}
+        builder = (build_rect_single if kind == "single_rect"
+                   else build_packed_single)
+        return builder(st.select_targets(counts, total, cfg), cfg)
+    maps: list[dict[bytes, int]] = [dict() for _ in range(cfg.num_selectors)]
+    for c, p, f in zip(ctx, pats, freqs):
+        maps[int(c)][p] = int(f)
+    return build_packed_multi(st.select_targets_multi(maps, total, cfg), cfg)
+
+
 def _dicts_from_stats(stats_docs: pa.Table, stats_freqs: pa.Table,
                       kind: str, cfg: DintConfig) -> BuiltDicts:
-    def build_one(table: pa.Table):
-        total = int(table.column("total_ints_global")[0].as_py()) if len(table) else 0
-        ctx = table.column("ctx").to_numpy()
-        pats = table.column("pattern").to_pylist()
-        freqs = table.column("freq").to_numpy()
-        if kind in ("single_packed", "single_rect"):
-            from dint_ray.dint.dictionary import build_rect_single
+    # the docs and freqs selections are independent CPU-bound work
+    # (~1.4 s each at 64k-pattern stats): run them as two Ray tasks so
+    # the stage costs one selection, not two back-to-back (GIL rules
+    # out driver threads for this).  Serial fallback keeps the function
+    # usable without a live Ray session (unit tests).
+    try:
+        import ray
 
-            counts = {p: int(f) for p, f in zip(pats, freqs)}
-            build_one = (build_rect_single if kind == "single_rect"
-                         else build_packed_single)
-            return build_one(st.select_targets(counts, total, cfg), cfg)
-        maps: list[dict[bytes, int]] = [dict() for _ in range(cfg.num_selectors)]
-        for c, p, f in zip(ctx, pats, freqs):
-            maps[int(c)][p] = int(f)
-        return build_packed_multi(st.select_targets_multi(maps, total, cfg), cfg)
-
-    return BuiltDicts(kind=kind, docs_dict=build_one(stats_docs),
-                      freqs_dict=build_one(stats_freqs))
+        use_ray = ray.is_initialized()
+    except Exception:  # pragma: no cover - ray absent
+        use_ray = False
+    if use_ray:
+        one = ray.remote(num_cpus=1)(_build_dict_one)
+        d_ref = one.remote(stats_docs, kind, cfg)
+        f_ref = one.remote(stats_freqs, kind, cfg)
+        return BuiltDicts(kind=kind, docs_dict=ray.get(d_ref),
+                          freqs_dict=ray.get(f_ref))
+    return BuiltDicts(kind=kind,
+                      docs_dict=_build_dict_one(stats_docs, kind, cfg),
+                      freqs_dict=_build_dict_one(stats_freqs, kind, cfg))
 
 
 class EncodeLists:
@@ -507,6 +526,36 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
                                 from_html=from_html).materialize()
     t = _tick("tokenize", t)
 
+    # --- doc sizes (overlapped): depends only on the tokenized rows,
+    # so it runs in a driver thread UNDER the vocabulary + posting-list
+    # stages (concurrent Dataset executions share the cluster; this
+    # pass is ~2 s of width-independent wall that would otherwise sit
+    # on the critical path).  Joined before the stats/norms consumers.
+    import threading
+
+    from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
+
+    sizes_path = os.path.join(out_dir, "sizes.parquet")
+    sizes_thread = None
+    sizes_err: list[BaseException] = []
+    sizes_wall = [0.0]
+    if not os.path.exists(sizes_path):
+        def _sizes_job() -> None:
+            _ts = time.time()
+            try:
+                import dint_ray
+
+                dint_ray.ensure_tuned()  # DataContext may be thread-local
+                write_sizes_sorted(doc_sizes(rows_ds), sizes_path)
+            except BaseException as e:  # re-raised at join
+                sizes_err.append(e)
+            finally:
+                sizes_wall[0] = time.time() - _ts
+
+        sizes_thread = threading.Thread(target=_sizes_job,
+                                        name="doc-sizes", daemon=True)
+        sizes_thread.start()
+
     # --- stage 2: vocabulary (driver dict below the term threshold,
     # Dataset + hash join above it — the driver never holds the term
     # table on the join path) ---
@@ -538,8 +587,16 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     num_terms = pq.read_metadata(vocab_path).num_rows
     t = _tick("vocabulary", t)
 
-    # --- stage 3: posting lists (salted groupby / fused join-merge) ---
+    # --- stage 3: posting lists (salted groupby / fused join-merge).
+    # The exchange result is MATERIALIZED (object store, spillable) and
+    # the parquet checkpoint write happens in a background thread: the
+    # stats and encode stages consume the materialized blocks directly,
+    # so neither the checkpoint write nor its re-read sits on the
+    # critical path.  Resume still gates on the _SUCCESS marker, which
+    # is only written after the background write completes. ---
     lists_dir = os.path.join(out_dir, "postings")
+    ckpt_thread = None
+    ckpt_err: list[BaseException] = []
     if not _done(lists_dir):
         os.makedirs(lists_dir, exist_ok=True)
         if use_join:
@@ -557,20 +614,35 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
             vocab = Vocabulary(terms=pq.read_table(vocab_path).to_pandas())
             lists = build_posting_lists(rows_ds, vocab, bcfg,
                                         num_docs=num_docs)
-        lists.write_parquet(lists_dir)
-        _mark_done(lists_dir)
-    lists_ds = rd.read_parquet(lists_dir)
+        lists_ds = lists.materialize()
+
+        def _ckpt_job() -> None:
+            try:
+                import dint_ray
+
+                dint_ray.ensure_tuned()
+                lists_ds.write_parquet(lists_dir)
+                _mark_done(lists_dir)
+            except BaseException as e:  # re-raised before the manifest
+                ckpt_err.append(e)
+
+        ckpt_thread = threading.Thread(target=_ckpt_job,
+                                       name="postings-ckpt", daemon=True)
+        ckpt_thread.start()
+    else:
+        lists_ds = rd.read_parquet(lists_dir)
     t = _tick("posting_lists", t)
 
-    # --- stage 4: doc sizes (written SORTED by doc_id with bounded row
-    # groups so bucket owners / segment encoders can range-read their
-    # slice — index/docstats.py; the driver holds O(row_group), not
+    # --- stage 4: doc sizes join (pass launched back at stage 1; the
+    # file is written SORTED by doc_id with bounded row groups so
+    # bucket owners / segment encoders can range-read their slice —
+    # index/docstats.py; the driver holds O(row_group), not
     # O(num_docs)) ---
-    from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
-
-    sizes_path = os.path.join(out_dir, "sizes.parquet")
-    if not os.path.exists(sizes_path):
-        write_sizes_sorted(doc_sizes(rows_ds), sizes_path)
+    if sizes_thread is not None:
+        sizes_thread.join()
+        if sizes_err:
+            raise sizes_err[0]
+        stage_secs["doc_sizes.thread_wall"] = round(sizes_wall[0], 3)
     total_len, _ = streaming_len_stats(sizes_path)
     t = _tick("doc_sizes", t)
 
@@ -659,6 +731,15 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
             "input": os.path.basename(pages_path),
         })
     _tick("encode_and_shards", t)
+
+    # postings checkpoint must be durable before the manifest declares
+    # the build done (resume reads postings/ via its _SUCCESS marker)
+    if ckpt_thread is not None:
+        _tj = time.time()
+        ckpt_thread.join()
+        if ckpt_err:
+            raise ckpt_err[0]
+        stage_secs["posting_ckpt.join_wait"] = round(time.time() - _tj, 3)
 
     write_manifest(
         out_dir,
