@@ -221,6 +221,11 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                 "sim": pa.array(out_s, pa.float64()),
             })
 
+    # materialized between the two keyed repartitions (bucket, then
+    # query_id): two hash-shuffle operators in one streaming plan
+    # self-backpressure over aggregator CPU reservations (measured
+    # 3.1x the staged wall on the MinHash dedup chain, ops/dedup.py).
+    # The intermediate is per-bucket candidate scores only.
     partial = (emb_ds.map_batches(_strip_meta, batch_format="pyarrow")
                .map_batches(AddBucket, batch_format="pyarrow",
                             batch_size=1024,
@@ -228,7 +233,8 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                .repartition(num_partitions, keys=["bucket"], sort=False)
                .map_batches(BucketScorer, batch_format="pyarrow",
                             batch_size=None,
-                            concurrency=(1, concurrency), num_cpus=1))
+                            concurrency=(1, concurrency), num_cpus=1)
+               .materialize())
     # each partition should own several queries, or hash gaps
     # leave empty partitions whose schemaless blocks make the
     # executor warn (cosmetic, but noisy)
