@@ -432,7 +432,18 @@ def run_scaling_inner(cpus: int) -> dict:
     serve["ranked_or_fast"] = max(runs_all["ranked_or_fast"])
     # LLM-ops legs: MinHash-LSH near-dup and digest-keyed exact dedup
     # over the same 500k-page corpus — the dedup path is first-class at
-    # 100 TB, so it gets a scaling number alongside build/serve
+    # 100 TB, so it gets a scaling number alongside build/serve.
+    # Release serving state first: idle bucket owners reserve 0.25 CPU
+    # each and the broadcast image pins plasma memory — a dedup job is
+    # its own cluster occupant, so measure it on a clean session.
+    from dint_ray.pipelines import serve as _serve
+    from dint_ray.pipelines.partitioned import release_all_actors
+
+    release_all_actors()
+    _serve._REF_CACHE.clear()
+    import gc as _gc
+
+    _gc.collect()
     import ray.data as _rd
 
     from dint_ray.ops.dedup import exact_dedup_ds, minhash_dedup_pairs_ds

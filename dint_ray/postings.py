@@ -27,6 +27,7 @@ distributed pipeline and the single-process oracle.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -785,9 +786,20 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
     #      a lexsort repair for executor-split partitions).
     runs0 = keyed.map_batches(_runs_from_block, batch_format="pyarrow",
                               batch_size=None)
+    # materialize between exchange B and exchange C: two hash-shuffle
+    # operators in one streaming plan self-backpressure over
+    # aggregator CPU reservations (the engine-wide staging rule,
+    # README).  Here the intermediate is posting-sized, so the extra
+    # object-store pass is not free — still a consistent net win
+    # (interleaved A/B on the 500k-doc corpus: posting stage
+    # 19.2-23.6 s fused vs 13.4-18.3 s staged at 24 CPUs; 41.6-45.6
+    # vs 38.3 s at 6), digest-identical to the single-exchange index.
+    # DINT_SALT_STAGED=0 restores the fused plan for measurement.
     runs = runs0.repartition(width, keys=["term_id", "bucket"], sort=False) \
                 .map_batches(_runs_from_runs_block, batch_format="pyarrow",
                              batch_size=None)
+    if os.environ.get("DINT_SALT_STAGED", "1") == "1":
+        runs = runs.materialize()
     return runs.repartition(width, keys=["term_id"], sort=False) \
                .map_batches(_concat_sorted_runs_block, batch_format="pyarrow",
                             batch_size=None)
