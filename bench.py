@@ -2,8 +2,9 @@
 """Headline benchmark: DINT index build + BM25 serving + training-data ops.
 
     python bench.py             # one JSON line over $GRAFT_SF_DIR
-    python bench.py --scaling   # same job at 8 and 32 CPUs in fresh
-                                # processes -> throughputs + efficiency
+    python bench.py --scaling   # same job at 6 and 24 CPUs in fresh
+                                # taskset-pinned processes ->
+                                # throughputs + efficiency
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
