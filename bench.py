@@ -342,11 +342,18 @@ def run_scaling_inner(cpus: int) -> dict:
         with open(f, "rb") as fh:
             fh.read()
 
+    # best-of-2 timed builds (the serving legs are best-of-3 for the
+    # same reason): single passes on a shared host carry ±15% spread —
+    # run 8 recorded a 65.4 s pass at 24 CPUs where runs 5-7 measured
+    # 49.7-58.9 s on identical code/input.  Both walls are reported.
     out_dir = os.path.join(SCALING_DIR, f"build_{cpus}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = _t.time()
-    manifest = build_index_ray(pages, out_dir)
-    build_sec = _t.time() - t0
+    build_runs = []
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = _t.time()
+        manifest = build_index_ray(pages, out_dir)
+        build_runs.append(round(_t.time() - t0, 1))
+    build_sec = min(build_runs)
 
     # salted two-exchange merge: the 10^12-doc skew path (head lists
     # split into doc-range buckets).  merge_strategy="auto" only picks
@@ -449,19 +456,24 @@ def run_scaling_inner(cpus: int) -> dict:
 
     from dint_ray.ops.dedup import exact_dedup_ds, minhash_dedup_pairs_ds
 
-    t0 = _t.time()
-    minhash_pairs = minhash_dedup_pairs_ds(
-        _rd.read_parquet(pages)).count()
-    minhash_sec = _t.time() - t0
-    t0 = _t.time()
-    exact_kept = exact_dedup_ds(_rd.read_parquet(pages)).count()
-    exact_sec = _t.time() - t0
+    minhash_runs, exact_runs = [], []
+    for _ in range(2):
+        t0 = _t.time()
+        minhash_pairs = minhash_dedup_pairs_ds(
+            _rd.read_parquet(pages)).count()
+        minhash_runs.append(round(_t.time() - t0, 1))
+        t0 = _t.time()
+        exact_kept = exact_dedup_ds(_rd.read_parquet(pages)).count()
+        exact_runs.append(round(_t.time() - t0, 1))
+    minhash_sec = min(minhash_runs)
+    exact_sec = min(exact_runs)
     ray.shutdown()
     return {
         "num_cpus": cpus,
         "os_cpus_visible": len(os.sched_getaffinity(0)),
         "num_docs": SCALING_DOCS,
         "build_sec": round(build_sec, 1),
+        "build_runs_sec": build_runs,
         "build_docs_per_sec": round(SCALING_DOCS / build_sec, 1),
         "build_salted_sec": round(salted_sec, 1),
         "build_salted_docs_per_sec": round(SCALING_DOCS / salted_sec, 1),
@@ -470,8 +482,10 @@ def run_scaling_inner(cpus: int) -> dict:
         "wand_compressed_queries_per_sec": serve["wand_compressed"],
         "fast_queries_per_sec": serve["ranked_or_fast"],
         "minhash_docs_per_sec": round(SCALING_DOCS / minhash_sec, 1),
+        "minhash_runs_sec": minhash_runs,
         "minhash_pairs": minhash_pairs,
         "exact_dedup_docs_per_sec": round(SCALING_DOCS / exact_sec, 1),
+        "exact_dedup_runs_sec": exact_runs,
         "exact_dedup_kept": exact_kept,
         "serve_runs": runs_all,
         "owner_utilization": owner_util,
