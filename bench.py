@@ -363,11 +363,14 @@ def run_scaling_inner(cpus: int) -> dict:
     from dint_ray.config import BuildConfig
 
     out_salted = os.path.join(SCALING_DIR, f"build_salted_{cpus}")
-    shutil.rmtree(out_salted, ignore_errors=True)
-    t0 = _t.time()
-    build_index_ray(pages, out_salted,
-                    bcfg=BuildConfig(merge_strategy="salted"))
-    salted_sec = _t.time() - t0
+    salted_runs = []
+    for _ in range(2):
+        shutil.rmtree(out_salted, ignore_errors=True)
+        t0 = _t.time()
+        build_index_ray(pages, out_salted,
+                        bcfg=BuildConfig(merge_strategy="salted"))
+        salted_runs.append(round(_t.time() - t0, 1))
+    salted_sec = min(salted_runs)
     salted_match = _index_digest(out_dir) == _index_digest(out_salted)
     shutil.rmtree(out_salted, ignore_errors=True)
 
@@ -476,6 +479,7 @@ def run_scaling_inner(cpus: int) -> dict:
         "build_runs_sec": build_runs,
         "build_docs_per_sec": round(SCALING_DOCS / build_sec, 1),
         "build_salted_sec": round(salted_sec, 1),
+        "build_salted_runs_sec": salted_runs,
         "build_salted_docs_per_sec": round(SCALING_DOCS / salted_sec, 1),
         "salted_digest_match": salted_match,
         "wand_queries_per_sec": serve["wand"],
