@@ -286,15 +286,20 @@ def _index_digest(out_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    h = 0
+    # md5 over the SORTED per-row digests: order-independent like the
+    # XOR-combine it replaces, but duplicate rows change the digest
+    # (any even number of identical rows XORs away — the exact
+    # duplicate-fragment bug class this check exists to catch)
+    digests = []
     for f in sorted(glob.glob(os.path.join(out_dir, "shards", "**",
                                            "*.parquet"), recursive=True)):
         t = pq.read_table(f, columns=["term_id", "payload"])
         for tid, pl in zip(t.column("term_id").to_pylist(),
                            t.column("payload").to_pylist()):
-            d = hashlib.md5(int(tid).to_bytes(4, "little") + pl).digest()
-            h ^= int.from_bytes(d[:8], "little")
-    return f"{h:016x}"
+            digests.append(
+                hashlib.md5(int(tid).to_bytes(4, "little") + pl).digest())
+    digests.sort()
+    return hashlib.md5(b"".join(digests)).hexdigest()
 
 
 def run_scaling_inner(cpus: int) -> dict:

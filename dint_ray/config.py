@@ -86,7 +86,7 @@ class BuildConfig:
             import ray
 
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            return max(2, ncpu - max(1, ncpu // 8))
+            return max(1, ncpu - max(1, ncpu // 8))
         except Exception:
             return 8
 
@@ -114,7 +114,11 @@ class BuildConfig:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        cap = max(2, min(cap, ncpu - max(1, ncpu // 8)))
+        # max(1, ...) INSIDE the clamp: a floor of 2 outside it would
+        # hand a 1- or 2-CPU cluster a pool covering every logical CPU
+        # — exactly the all-reserved deadlock this clamp exists to
+        # prevent.  On 1 CPU a 1-actor pool is the best we can do.
+        cap = max(1, min(cap, ncpu - max(1, ncpu // 8)))
         return (max(1, min(cap, ncpu // 3)), cap)
 
 

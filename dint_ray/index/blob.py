@@ -112,7 +112,7 @@ def export_shards_to_blobs(index_dir: str, out_dir: str | None = None) -> list[d
     import pyarrow.parquet as pq
 
     from dint_ray.index.build import load_codec_bundle
-    from dint_ray.index.shards import merge_fragment_payloads
+    from dint_ray.index.shards import load_merged_rows
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
@@ -130,22 +130,9 @@ def export_shards_to_blobs(index_dir: str, out_dir: str | None = None) -> list[d
             t = pq.read_table(files, columns=["term_id", "payload"])
         else:
             t = pq.read_table(p, columns=["term_id", "payload"])
-        tids = t.column("term_id").to_numpy()
-        pls = t.column("payload").to_pylist()
-        by_tid: dict[int, bytes | list] = {}
-        for tid, pl in zip(tids, pls):
-            tid = int(tid)
-            if tid in by_tid:
-                prev = by_tid[tid]
-                by_tid[tid] = (prev if isinstance(prev, list) else [prev]) + [pl]
-            else:
-                by_tid[tid] = pl
-        order = sorted(by_tid)
-        payloads = [
-            merge_fragment_payloads(v, docs_codec, freqs_codec)
-            if isinstance(v := by_tid[tid], list) else v
-            for tid in order
-        ]
+        rows = load_merged_rows([t], docs_codec, freqs_codec)
+        order = sorted(rows)
+        payloads = [rows[tid][1] for tid in order]
         st = write_blob(os.path.join(out_dir, f"shard-{i}.blob"),
                         np.asarray(order, dtype=np.uint64), payloads)
         st["shard"] = i

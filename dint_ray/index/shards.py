@@ -177,6 +177,37 @@ def merge_fragment_payloads(payloads: list[bytes], docs_codec,
                               docs_codec, freqs_codec)
 
 
+def load_merged_rows(tables, docs_codec, freqs_codec
+                     ) -> dict[int, tuple[float, bytes]]:
+    """term_id -> (max_weight, payload) over parquet shard tables,
+    merging duplicate term rows.  Duplicates are executor-split
+    fragments (one row per block for a term straddling a partition
+    split); overwriting them would silently drop postings, so the
+    fragments are decoded/merged into one payload — the ONE shared
+    implementation for every shard/bucket/blob loader.  Tables without
+    a max_weight column get weight 0.0 (ignored by those callers)."""
+    rows: dict[int, tuple[float, bytes]] = {}
+    dup: dict[int, list[bytes]] = {}
+    for t in tables:
+        tids = t.column("term_id").to_numpy()
+        mws = (t.column("max_weight").to_numpy()
+               if "max_weight" in t.column_names
+               else np.zeros(len(tids), np.float32))
+        pls = t.column("payload").to_pylist()
+        for tid, mw, pl in zip(tids, mws, pls):
+            tid = int(tid)
+            prev = rows.get(tid)
+            if prev is None:
+                rows[tid] = (float(mw), pl)
+            else:
+                dup.setdefault(tid, [prev[1]]).append(pl)
+                rows[tid] = (max(prev[0], float(mw)), prev[1])
+    for tid, pls in dup.items():
+        rows[tid] = (rows[tid][0],
+                     merge_fragment_payloads(pls, docs_codec, freqs_codec))
+    return rows
+
+
 def load_shards(index_dir: str, docs_codec, freqs_codec,
                 shard_ids: list[int] | None = None):
     """Load (a subset of) shards -> (InvertedIndex, max_weight dict,
@@ -184,35 +215,25 @@ def load_shards(index_dir: str, docs_codec, freqs_codec,
     never overwritten — overwriting silently drops postings."""
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
-    payloads: dict[int, bytes] = {}
-    max_w: dict[int, float] = {}
-    frags: dict[int, list[bytes]] = {}
-    for i, shard in enumerate(manifest["shards"]):
-        if shard_ids is not None and i not in shard_ids:
-            continue
-        p = os.path.join(index_dir, shard["path"])
-        if os.path.isdir(p):
-            import glob as _g
 
-            files = sorted(_g.glob(os.path.join(p, "*.parquet")))
-            if not files:
+    def _tables():
+        for i, shard in enumerate(manifest["shards"]):
+            if shard_ids is not None and i not in shard_ids:
                 continue
-            t = pq.read_table(files)
-        else:
-            t = pq.read_table(p)
-        tids = t.column("term_id").to_numpy()
-        mws = t.column("max_weight").to_numpy()
-        pls = t.column("payload").to_pylist()
-        for tid, mw, pl in zip(tids, mws, pls):
-            tid = int(tid)
-            if tid in payloads:
-                frags.setdefault(tid, [payloads[tid]]).append(pl)
-                max_w[tid] = max(max_w[tid], float(mw))
+            p = os.path.join(index_dir, shard["path"])
+            if os.path.isdir(p):
+                import glob as _g
+
+                files = sorted(_g.glob(os.path.join(p, "*.parquet")))
+                if not files:
+                    continue
+                yield pq.read_table(files)
             else:
-                payloads[tid] = pl
-                max_w[tid] = float(mw)
-    for tid, pls in frags.items():
-        payloads[tid] = merge_fragment_payloads(pls, docs_codec, freqs_codec)
+                yield pq.read_table(p)
+
+    rows = load_merged_rows(_tables(), docs_codec, freqs_codec)
+    payloads = {tid: pl for tid, (_, pl) in rows.items()}
+    max_w = {tid: mw for tid, (mw, _) in rows.items()}
     idx = InvertedIndex(manifest["num_docs"], payloads, docs_codec, freqs_codec)
     return idx, max_w, manifest
 

@@ -573,7 +573,7 @@ typedef struct { CDict dicts[8]; int ndicts; int multi; } CCodec;
 static void codec_init(CCodec *c, int multi, int nd, const uint64_t *lens,
                        const uint64_t *offs, const uint64_t *tabs) {
     c->multi = multi;
-    c->ndicts = nd;
+    c->ndicts = nd > 8 ? 8 : nd;   /* never beyond the initialized slots */
     for (int i = 0; i < nd && i < 8; i++) {
         c->dicts[i].lengths = (const int32_t *)(uintptr_t)lens[i];
         c->dicts[i].offs = (const int32_t *)(uintptr_t)offs[i];
@@ -1399,6 +1399,13 @@ def _codec_c_args(ffi, d):
     byte, b=16/b=8 streams — dint/codec.py decode_multi)."""
     multi = hasattr(d, "dicts")
     dl = d.dicts if multi else [d]
+    if len(dl) > 8:
+        # CCodec holds a fixed dicts[8]; a larger ndicts would pass the
+        # `sc < ndicts` selector check and dereference uninitialized
+        # slots (DintConfig.num_selectors > 8 is unvalidated upstream)
+        raise ValueError(
+            f"C kernels support at most 8 dictionaries, got {len(dl)} "
+            "(num_selectors too large) — use the Python decode path")
     keep = [dict_c_arrays(x) for x in dl]
     lp = np.array([k[0].ctypes.data for k in keep], dtype=np.uint64)
     op = np.array([k[1].ctypes.data for k in keep], dtype=np.uint64)

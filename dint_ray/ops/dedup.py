@@ -288,12 +288,23 @@ def _add_pair_bucket(batch: pa.Table) -> pa.Table:
     band = batch.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
     col = batch.column("band_hash")
     if pa.types.is_binary(col.type):
+        # Bucket = big-endian int of the first 8 bytes, zero-padded —
+        # a PER-VALUE function on every path.  (An earlier version fell
+        # back to crc32 for variable-width batches, so the same value
+        # bucketed differently depending on which batch it rode in,
+        # splitting its group across partitions.)
         mat, w = _fixed_width_bytes(col)
-        if mat is not None and w >= 8:
+        if mat is not None:
+            if w < 8:
+                pad = np.zeros((mat.shape[0], 8), np.uint8)
+                pad[:, :w] = mat
+                mat = pad
             h = mat[:, :8].copy().view(">u8").reshape(-1).astype(np.int64)
         else:
-            h = np.asarray([zlib.crc32(v) for v in col.to_pylist()],
-                           dtype=np.int64)
+            h = np.asarray(
+                [int.from_bytes(((v or b"")[:8]).ljust(8, b"\0"), "big")
+                 for v in col.to_pylist()],
+                dtype=np.uint64).astype(np.int64)
     else:
         h = col.to_numpy(zero_copy_only=False)
     b = ((h * 1000003 + band) % _PAIR_BUCKETS).astype(np.int32)

@@ -294,6 +294,16 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
             [t for t in ray.get(cand.to_arrow_refs())
              if t is not None and t.num_rows],
             promote_options="default")
+        # The executor may split an oversized hash partition into
+        # several blocks, in which case agg_block saw partial freq
+        # sums for the split groups and emitted duplicate candidate
+        # rows.  Re-aggregate before the final winner selection so it
+        # ranks exact totals (the per-block preselect is then only a
+        # pre-filter; a split can at worst drop a borderline candidate
+        # — a dictionary-quality heuristic, never decode correctness).
+        agg = (agg.group_by(["stream", "ctx", "size", "hash"])
+               .aggregate([("freq", "sum")])
+               .rename_columns(["stream", "ctx", "size", "hash", "freq"]))
     _sub("exchange_and_agg")
 
     # winner selection on numpy views of the arrow columns (zero-copy
@@ -564,6 +574,7 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
                                    max_df_of_vocab, write_vocab_parquet)
 
     vocab_path = os.path.join(out_dir, "vocab.parquet")
+    vocab_meta_path = os.path.join(out_dir, "vocab_meta.json")
     use_join = bcfg.vocab_mode == "dataset"
     if not os.path.exists(vocab_path):
         partial = df_partials(rows_ds)
@@ -580,10 +591,21 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
             pq.write_table(
                 pa.Table.from_pandas(vocab.terms, preserve_index=False), tmp)
             os.replace(tmp, vocab_path)
+        # persist the path decision: a resume must not re-derive it
+        # from a DIFFERENT metric (unique terms vs df-partial rows)
+        # and silently flip a large build back onto the
+        # driver-broadcast path
+        with open(vocab_meta_path + ".tmp", "w") as f:
+            json.dump({"use_join": use_join}, f)
+        os.replace(vocab_meta_path + ".tmp", vocab_meta_path)
         stage_secs["vocabulary.reduce_write"] = round(time.time() - _tv, 2)
     elif bcfg.vocab_mode == "auto":
-        use_join = pq.read_metadata(vocab_path).num_rows > \
-            bcfg.vocab_dataset_threshold
+        if os.path.exists(vocab_meta_path):
+            with open(vocab_meta_path) as f:
+                use_join = bool(json.load(f)["use_join"])
+        else:  # pre-marker artifact: unique terms is the best proxy
+            use_join = pq.read_metadata(vocab_path).num_rows > \
+                bcfg.vocab_dataset_threshold
     num_terms = pq.read_metadata(vocab_path).num_rows
     t = _tick("vocabulary", t)
 

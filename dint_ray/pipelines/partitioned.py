@@ -119,7 +119,14 @@ def build_serve_partitions(index_dir: str, num_buckets: int,
                           for v in list_views(batch.column("docs"))]
             freqs_views = [np.ascontiguousarray(v, dtype=np.uint32)
                           for v in list_views(batch.column("freqs"))]
-            edges = np.arange(width, num_docs, width, dtype=np.uint32)
+            # exactly num_buckets-1 boundaries (clipped): ceil division
+            # can make the last bucket(s) empty, so deriving edges from
+            # num_docs alone under-counts and cuts[b + 1] walks off the
+            # end for e.g. num_docs=9, num_buckets=4 (width 3 -> 3 full
+            # buckets).  Empty trailing buckets are skipped below.
+            edges = np.minimum(
+                np.arange(1, num_buckets, dtype=np.int64) * width,
+                num_docs).astype(np.uint32)
             all_cuts = [np.concatenate(
                 ([0], np.searchsorted(d, edges), [len(d)]))
                 for d in docs_views]
@@ -572,7 +579,7 @@ class PartitionScorer:
             load_codec_bundle(index_dir, manifest["dict_kind"]).codecs()
 
         from dint_ray.index.layout import PostingListView
-        from dint_ray.index.shards import merge_fragment_payloads
+        from dint_ray.index.shards import load_merged_rows
 
         files = sorted(glob.glob(
             os.path.join(serve_dir, f"bucket={bucket}", "*.parquet")))
@@ -581,31 +588,13 @@ class PartitionScorer:
         self._busy = 0.0
         self.df_global = df_global
 
-        # One dedup-merging load pass shared by both storage modes.
-        # Duplicate (bucket, term) rows appear when the executor splits
-        # a hash partition's output into multiple blocks (the per-block
-        # segment kernel emits one row per block); overwriting them
-        # would silently drop postings, so fragments are merged into
-        # one payload here (O(bucket) work, load-time only).
-        rows: dict[int, tuple[float, bytes]] = {}
-        dup: dict[int, list[bytes]] = {}
-        for path in files:
-            t = pq.read_table(path,
-                              columns=["term_id", "max_weight", "payload"])
-            for tid, m, pl in zip(t.column("term_id").to_numpy(),
-                                  t.column("max_weight").to_numpy(),
-                                  t.column("payload").to_pylist()):
-                tid = int(tid)
-                prev = rows.get(tid)
-                if prev is None:
-                    rows[tid] = (float(m), pl)
-                else:
-                    dup.setdefault(tid, [prev[1]]).append(pl)
-                    rows[tid] = (max(prev[0], float(m)), prev[1])
-        for tid, pls in dup.items():
-            rows[tid] = (rows[tid][0],
-                         merge_fragment_payloads(pls, docs_codec,
-                                                 freqs_codec))
+        # One dedup-merging load pass shared by both storage modes
+        # (executor-split fragment rows merged, never overwritten —
+        # shards.load_merged_rows; O(bucket) work, load-time only).
+        rows = load_merged_rows(
+            (pq.read_table(path, columns=["term_id", "max_weight",
+                                          "payload"]) for path in files),
+            docs_codec, freqs_codec)
 
         if storage == "compressed":
             if manifest["dict_kind"] not in ("single_packed", "single_rect",

@@ -132,16 +132,76 @@ def _sum_by_key(ds, key: str, val: str, out: str, key_type: pa.DataType,
         return (pt.group_by(key).aggregate([(val, "sum")])
                 .rename_columns([key, out]))
 
-    def _block_sum(b: pa.Table) -> pa.Table:
+    # Distributed branch.  A keyed repartition co-locates each key in
+    # one hash partition, but the streaming executor may SPLIT an
+    # oversized partition into several blocks — a per-block group_by
+    # would then emit two rows for one key with partial sums (and the
+    # downstream dense rank would mint two term_ids for one term).
+    # Splits never MIX partitions, so correctness is restored with our
+    # own deterministic bucket column: tag every row with
+    # __b = hash(key) % W BEFORE the exchange, shuffle on __b, combine
+    # per block (keeping __b), then group the materialized block refs
+    # by the __b values they contain and run ONE vectorized reduce
+    # task per bucket — every row of a key reaches exactly one task.
+    width = _shuffle_width()
+
+    def _tag_bucket(b: pa.Table) -> pa.Table:
+        import polars as pl
+
         if b.num_rows == 0 or key not in b.column_names:
             return pa.table({key: pa.array([], key_type),
+                             val: pa.array([], pa.int64()),
+                             "__b": pa.array([], pa.uint32())})
+        h = (pl.from_arrow(b.select([key]))
+             .select((pl.col(key).hash(seed=0) % width).alias("__b"))
+             ["__b"].to_numpy())
+        return b.append_column("__b", pa.array(h.astype(np.uint32),
+                                               pa.uint32()))
+
+    def _block_sum(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({key: pa.array([], key_type),
+                             "__b": pa.array([], pa.uint32()),
                              out: pa.array([], pa.int64())})
-        return (b.group_by(key).aggregate([(val, "sum")])
+        return (b.group_by([key, "__b"]).aggregate([(val, "sum")])
+                .rename_columns([key, "__b", out]))
+
+    combined = (ds.map_batches(_tag_bucket, batch_format="pyarrow",
+                               batch_size=None, num_cpus=1)
+                .repartition(width, keys=["__b"], sort=False)
+                .map_batches(_block_sum, batch_format="pyarrow",
+                             batch_size=None, num_cpus=1)
+                .materialize())
+    refs = combined.to_arrow_refs()
+
+    def _distinct_b(t: pa.Table) -> list[int]:
+        import pyarrow.compute as pc
+
+        # empty shuffle partitions surface as zero-column blocks
+        if t.num_rows == 0 or "__b" not in t.column_names:
+            return []
+        return pc.unique(t.column("__b")).to_pylist()
+
+    def _reduce_bucket(b: int, *tabs: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = [t.filter(pc.equal(t.column("__b"), b)) for t in tabs]
+        cat = pa.concat_tables([p for p in parts if p.num_rows],
+                               promote_options="default")
+        return (cat.group_by(key).aggregate([(out, "sum")])
                 .rename_columns([key, out]))
 
-    return (ds.repartition(_shuffle_width(), keys=[key], sort=False)
-            .map_batches(_block_sum, batch_format="pyarrow",
-                         batch_size=None, num_cpus=1))
+    inspect = ray.remote(num_cpus=0)(_distinct_b)
+    by_bucket: dict[int, list] = {}
+    for r, bs in zip(refs, ray.get([inspect.remote(r) for r in refs])):
+        for b in bs:
+            by_bucket.setdefault(int(b), []).append(r)
+    if not by_bucket:
+        return pa.table({key: pa.array([], key_type),
+                         out: pa.array([], pa.int64())})
+    reduce_t = ray.remote(num_cpus=1)(_reduce_bucket)
+    outs = [reduce_t.remote(b, *rs) for b, rs in sorted(by_bucket.items())]
+    return rd.from_arrow_refs(outs)
 
 
 def df_partials(rows_ds):
