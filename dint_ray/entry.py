@@ -658,6 +658,43 @@ def q_index_roundtrip(sf_dir: str, kind: str = "single_packed"):
         batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1)
 
 
+def q_index_roundtrip_blob(sf_dir: str):
+    """Blob-export conformance: parquet shards -> single-blob shard
+    images with Elias-Fano term-id/endpoint directories (the
+    reference's frozen-image layout, dict_freq_index.hpp:96-100) ->
+    decode every payload back out of the mmap views -> must equal the
+    tokenize-derived postings (same replay oracle as the parquet
+    roundtrip)."""
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    idir = ensure_index(sf_dir, "single_packed")
+    blob_dir = os.path.join(idir, "blobs")
+    if not glob.glob(os.path.join(blob_dir, "*.blob")):
+        from dint_ray.index.blob import export_shards_to_blobs
+
+        export_shards_to_blobs(idir)
+
+    @ray.remote(num_cpus=1)
+    def _rows(path: str) -> pa.Table:
+        from dint_ray.index.blob import BlobView
+
+        v = BlobView(path)
+        return pa.table({
+            "term_id": pa.array(v.term_ids.astype(np.uint32), pa.uint32()),
+            "payload": pa.array([bytes(v.payload(i)) for i in range(len(v))],
+                                pa.binary()),
+        })
+
+    files = sorted(glob.glob(os.path.join(blob_dir, "*.blob")))
+    shards = rd.from_arrow_refs([_rows.remote(f) for f in files])
+    return shards.map_batches(
+        _DecodeShard, fn_constructor_kwargs={"index_dir": idir},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4), num_cpus=1)
+
+
 def q_index_transform_mixed(sf_dir: str):
     """mixed_block the way the reference creates it: transform an
     existing index (mixed_block.hpp:153-196 block_transformer), with
@@ -1193,6 +1230,8 @@ def registry():
         "index_roundtrip_block_qmx": (
             lambda sf: q_index_roundtrip(sf, "block_qmx"),
             SQL_POSTING_LISTS),
+        "index_roundtrip_blob": (q_index_roundtrip_blob,
+                                 SQL_POSTING_LISTS),
         "index_transform_mixed": (q_index_transform_mixed,
                                   SQL_POSTING_LISTS),
         "index_roundtrip_ef": (
