@@ -70,6 +70,14 @@ class BuildConfig:
     # (spillable; a crash before the postings checkpoint re-tokenizes),
     # None = auto (checkpoint above 5M docs)
     checkpoint_rows: bool | None = None
+    # Map-side combine bundling for the posting exchange: scalar
+    # (term_id, doc_id, tf) rows gathered per combine call.  The
+    # combine emits <= one list row per (term, call), so bundling ~40
+    # tokenizer blocks per call collapses ~40x more duplicate terms
+    # before the hash exchange — which is per-ROW-overhead bound, not
+    # byte bound (BASELINE.md negative result).  None = one input
+    # block per call (the pre-bundling behavior, kept for A/B).
+    combine_batch_rows: int | None = 4_000_000
     # actor pools; concurrency 0 = size to the cluster (one per CPU)
     encode_batch_size: int = 64
     encode_concurrency: int = 0

@@ -821,6 +821,13 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
         num_cpus=1,
     )
     width = _shuffle_width()
+    # map-side combine bundling (see BuildConfig.combine_batch_rows);
+    # DINT_COMBINE_BATCH overrides for interleaved A/B measurement
+    # ("0"/"none" = per-block, an integer = rows per combine call)
+    combine_bs = cfg.combine_batch_rows
+    _env = os.environ.get("DINT_COMBINE_BATCH")
+    if _env is not None:
+        combine_bs = None if _env.lower() in ("0", "none", "") else int(_env)
     if strategy == "single":
         # map-side combine BEFORE the exchange: each input block is
         # collapsed to per-term runs (list rows) by the same
@@ -832,7 +839,7 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
         # 24 (stage wall incl. write), identical output (digest +
         # oracle entries).
         runs = keyed.map_batches(_merge_rows_block, batch_format="pyarrow",
-                                 batch_size=None)
+                                 batch_size=combine_bs)
         return runs.repartition(width, keys=["term_id"], sort=False) \
                    .map_batches(_merge_runs_block, batch_format="pyarrow",
                                 batch_size=None)
@@ -845,7 +852,7 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
     #      doc-range-disjoint bucket runs (monotonicity-audited, with
     #      a lexsort repair for executor-split partitions).
     runs0 = keyed.map_batches(_runs_from_block, batch_format="pyarrow",
-                              batch_size=None)
+                              batch_size=combine_bs)
     # materialize between exchange B and exchange C: two hash-shuffle
     # operators in one streaming plan self-backpressure over
     # aggregator CPU reservations (the engine-wide staging rule,
