@@ -164,6 +164,114 @@ def resolve_stats_batch(batch: pa.Table, *, wanted, multi: bool,
     })
 
 
+# above this many partial rows the stats aggregation leaves the driver
+# for the packed exchange below (patchable in tests to force the
+# distributed path on small fixtures)
+STATS_DRIVER_AGG_MAX_ROWS = 4_000_000
+
+_PACKED_STATS_SCHEMA = pa.schema([
+    ("part", pa.uint32()),
+    ("stream", pa.list_(pa.uint8())),
+    ("ctx", pa.list_(pa.uint8())),
+    ("size", pa.list_(pa.uint8())),
+    ("hash", pa.list_(pa.int64())),
+    ("freq", pa.list_(pa.uint64())),
+])
+
+
+def _pack_stats_block(batch: pa.Table, *, width: int) -> pa.Table:
+    """Bucket one block of scalar partial-stats rows by hash%width and
+    emit ONE list row per non-empty bucket.  The stats exchange cost is
+    per-row fixed overhead in the hash-shuffle machinery (not payload
+    bytes), so shipping width list rows per block instead of millions
+    of scalar rows removes ~all of it; the reduce side sees exactly the
+    same (stream, ctx, size, hash, freq) multiset."""
+    if batch.num_rows == 0:
+        return _PACKED_STATS_SCHEMA.empty_table()
+    cols = {n: batch.column(n).to_numpy(zero_copy_only=False)
+            for n in ("stream", "ctx", "size", "hash", "freq")}
+    part = (cols["hash"].view(np.uint64) % np.uint64(width)).astype(np.uint32)
+    order = np.argsort(part, kind="stable")
+    sorted_part = part[order]
+    bucket_vals, starts = np.unique(sorted_part, return_index=True)
+    offsets = np.concatenate(
+        [starts, [len(sorted_part)]]).astype(np.int32)
+    arrays = {"part": pa.array(bucket_vals, pa.uint32())}
+    for name, typ in (("stream", pa.uint8()), ("ctx", pa.uint8()),
+                      ("size", pa.uint8()), ("hash", pa.int64()),
+                      ("freq", pa.uint64())):
+        vals = pa.array(cols[name][order], typ)
+        arrays[name] = pa.ListArray.from_arrays(pa.array(offsets), vals)
+    return pa.table(arrays)
+
+
+def _flat_list_column(col: pa.ChunkedArray, dtype) -> np.ndarray:
+    parts = []
+    for chunk in col.chunks if isinstance(col, pa.ChunkedArray) else [col]:
+        if len(chunk):
+            parts.append(np.asarray(chunk.flatten(), dtype=dtype))
+    if not parts:
+        return np.empty(0, dtype=dtype)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _agg_packed_block(batch: pa.Table, *, totals, cfg, nctx) -> pa.Table:
+    """Unpack one exchanged partition of packed stats rows, aggregate
+    freq per (stream, ctx, size, hash) exactly (lexsort + reduceat —
+    pyarrow group_by on a rebuilt scalar table costs ~2x), then keep
+    only rows that win the per-partition pre-selection so the driver
+    ranks candidates, not the full hash universe."""
+    out_schema = pa.schema([
+        ("stream", pa.uint8()), ("ctx", pa.uint8()), ("size", pa.uint8()),
+        ("hash", pa.int64()), ("freq", pa.uint64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    streams = _flat_list_column(batch.column("stream"), np.uint8)
+    ctxs = _flat_list_column(batch.column("ctx"), np.uint8)
+    sizes = _flat_list_column(batch.column("size"), np.uint8)
+    hashes = _flat_list_column(batch.column("hash"), np.int64)
+    freqs = _flat_list_column(batch.column("freq"), np.uint64)
+    if not len(hashes):
+        return out_schema.empty_table()
+    order = np.lexsort((streams, ctxs, sizes, hashes))
+    streams, ctxs, sizes = streams[order], ctxs[order], sizes[order]
+    hashes, freqs = hashes[order], freqs[order]
+    newgrp = np.empty(len(hashes), dtype=bool)
+    newgrp[0] = True
+    np.not_equal(hashes[1:], hashes[:-1], out=newgrp[1:])
+    for k in (sizes, ctxs, streams):
+        newgrp[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(newgrp)
+    g_stream, g_ctx, g_size = streams[starts], ctxs[starts], sizes[starts]
+    g_hash = hashes[starts]
+    g_freq = np.add.reduceat(freqs, starts)
+    keep_idx = []
+    idx = np.arange(len(starts))
+    uh = g_hash.view(np.uint64)
+    for si in (0, 1):
+        for ctx in range(nctx):
+            m = (g_stream == si) & (g_ctx == ctx) & (g_size > 0)
+            if not m.any():
+                continue
+            ws, wh, wf = st.select_hash_winners(
+                g_size[m], uh[m], g_freq[m], int(totals.get(si, 0)), cfg)
+            sub = idx[m]
+            # exact winner rows: match on (hash, size) pairs
+            pair = uh[m] ^ (g_size[m].astype(np.uint64) << np.uint64(56))
+            wpair = wh.astype(np.uint64) ^ (ws.astype(np.uint64) << np.uint64(56))
+            keep_idx.append(sub[np.isin(pair, wpair)])
+    if not keep_idx:
+        return out_schema.empty_table()
+    sel = np.sort(np.concatenate(keep_idx))
+    return pa.table({
+        "stream": pa.array(g_stream[sel], pa.uint8()),
+        "ctx": pa.array(g_ctx[sel], pa.uint8()),
+        "size": pa.array(g_size[sel], pa.uint8()),
+        "hash": pa.array(g_hash[sel], pa.int64()),
+        "freq": pa.array(g_freq[sel], pa.uint64()),
+    })
+
+
 def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
                    cfg: DintConfig = DintConfig(),
                    timings: dict | None = None):
@@ -223,7 +331,7 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
     totals = {int(k): int(v) for k, v in tot_pd.items()}
     _sub("totals")
 
-    if nrows <= 4_000_000:
+    if nrows <= STATS_DRIVER_AGG_MAX_ROWS:
         # one multithreaded pyarrow group_by on the driver — below a
         # few million partial rows the exchange is pure overhead.
         # Above it the distributed branch wins: the driver group_by +
@@ -240,55 +348,29 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
                .rename_columns(["stream", "ctx", "size", "hash", "freq"]))
     else:
         # distributed: hash-partition by hash value (all 4 group keys
-        # are functions of rows sharing a hash), pyarrow group_by + a
-        # per-partition winner pre-selection inside each partition, so
-        # only candidate rows reach the driver.  Built from repartition
-        # + map_batches — Ray's aggregate operator is a Python-loop
-        # reducer and orders of magnitude slower here.
-        def agg_block(batch: pa.Table, *, totals, cfg, nctx) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch
-            g = (batch.select(["stream", "ctx", "size", "hash", "freq"])
-                 .group_by(["stream", "ctx", "size", "hash"])
-                 .aggregate([("freq", "sum")])
-                 .rename_columns(["stream", "ctx", "size", "hash", "freq"]))
-            streams = g.column("stream").to_numpy()
-            ctxs = g.column("ctx").to_numpy()
-            sizes = g.column("size").to_numpy().astype(np.uint8)
-            hashes = g.column("hash").to_numpy().view(np.uint64)
-            freqs = g.column("freq").to_numpy().astype(np.uint64)
-            keep_idx = []
-            idx = np.arange(len(g))
-            for si in (0, 1):
-                for ctx in range(nctx):
-                    m = (streams == si) & (ctxs == ctx) & (sizes > 0)
-                    if not m.any():
-                        continue
-                    ws, wh, wf = st.select_hash_winners(
-                        sizes[m], hashes[m], freqs[m],
-                        int(totals.get(si, 0)), cfg)
-                    sub = idx[m]
-                    # exact winner rows: match on (hash, size) pairs
-                    pair = hashes[m].astype(np.uint64) ^ (sizes[m].astype(np.uint64) << np.uint64(56))
-                    wpair = wh.astype(np.uint64) ^ (ws.astype(np.uint64) << np.uint64(56))
-                    keep_idx.append(sub[np.isin(pair, wpair)])
-            if not keep_idx:
-                return g.slice(0, 0)
-            return g.take(np.sort(np.concatenate(keep_idx)))
-
+        # are functions of rows sharing a hash), exact numpy aggregate
+        # + a per-partition winner pre-selection inside each partition,
+        # so only candidate rows reach the driver.  The exchange moves
+        # PACKED rows — the map side buckets its rows by hash%width and
+        # ships one list row per (block, bucket) — because the
+        # hash-shuffle cost is per-ROW serde overhead, not bytes
+        # (BASELINE.md round-3 A/B: a 37.5%-byte cut moved the posting
+        # exchange ~2%; bundling rows cut it 35-45%).  Packing turns
+        # ~24M scalar rows into width-per-block list rows at identical
+        # payload bytes.
         width = _shuffle_width()
-        # total_ints is only needed for the totals computed above — at
-        # u64 per row it is ~30% of the exchange bytes, so drop it.
-        # The repartition is MATERIALIZED before agg_block runs:
-        # streaming the keyed exchange straight into the (num_cpus=1)
-        # agg tasks makes those tasks fight the shuffle aggregators for
-        # slots and the stage backpressures itself — measured 2.3x
-        # slower (20.9 s vs 10.3 s for the bare exchange+groupby at 24
-        # CPUs on 28M rows; 38.9 s with the winner preselect included).
         rep = (partial.drop_columns(["total_ints"])
-               .repartition(width, keys=["hash"], sort=False).materialize())
+               .map_batches(_pack_stats_block, fn_kwargs={"width": width},
+                            batch_format="pyarrow", batch_size=None,
+                            num_cpus=1)
+               # materialized before the agg tasks run: streaming the
+               # keyed exchange straight into (num_cpus=1) agg tasks
+               # makes them fight the shuffle aggregators for slots and
+               # the stage backpressures itself — measured 2.3x slower.
+               .repartition(width, keys=["part"], sort=False).materialize())
         cand = rep.map_batches(
-            agg_block, fn_kwargs={"totals": totals, "cfg": cfg, "nctx": nctx},
+            _agg_packed_block,
+            fn_kwargs={"totals": totals, "cfg": cfg, "nctx": nctx},
             batch_format="pyarrow", batch_size=None, num_cpus=1)
         agg = pa.concat_tables(
             [t for t in ray.get(cand.to_arrow_refs())
