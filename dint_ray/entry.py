@@ -178,6 +178,20 @@ FROM (
 ) WHERE rank <= {K}
 """)
 
+# same docids-only view for the ranked-AND compressed entry
+SQL_RANKED_AND_DOCS = (_sql_prelude(with_queries=True) + "," +
+                       _BM25_CONTRIB_SQL + f"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id
+FROM (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score_u DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN qn ON qn.query_id = s.query_id
+  WHERE s.nhit = qn.nt
+) WHERE rank <= {K}
+""")
+
 SQL_BOOL_COUNTS = _sql_prelude(with_queries=True) + """,
 qn AS (SELECT query_id, count(*)::BIGINT AS nt FROM qlog GROUP BY query_id),
 hits AS (
@@ -984,6 +998,44 @@ def q_ranked_and_routed(sf_dir: str):
     return _run_routed(sf_dir, "ranked_and", "ranked_and")
 
 
+def _run_routed_compressed_float(sf_dir: str, algo: str):
+    """float32 routed serving over compressed owners for the
+    transient-decode algos (ranked_and / ranked_or / block_max_wand):
+    the owner decodes only the query's lists (_QueryLocalIndex) and
+    reuses the decoded algorithm code — full query-op surface on the
+    fixed-memory configuration (reference serves every op over every
+    index type, src/queries.cpp:87-111).  Scores are float32, so the
+    oracle checks the ranked doc triples; bit-identity with decoded
+    owners is asserted in tests."""
+    from dint_ray import native as nat
+    from dint_ray.pipelines.partitioned import run_queries_routed
+
+    idir = ensure_index(sf_dir, "single_packed")
+    qds = _query_ds(QUERY_LOG)
+    storage = "compressed" if nat.available() else "decoded"
+    out = run_queries_routed(qds, idir, algo=algo, k=K, num_buckets=4,
+                             storage=storage)
+
+    def strip(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "query_id": b.column("query_id").cast(pa.int64()),
+            "rank": pc.add(b.column("rank").cast(pa.int64()), 1),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+def q_ranked_and_routed_compressed(sf_dir: str):
+    return _run_routed_compressed_float(sf_dir, "ranked_and")
+
+
+def q_block_max_wand_routed_compressed(sf_dir: str):
+    return _run_routed_compressed_float(sf_dir, "block_max_wand")
+
+
 SQL_BLOCK_PROFILE = _sql_prelude(with_queries=True) + """,
 nd AS (SELECT count(*)::BIGINT AS n FROM documents),
 w AS (SELECT ((n + 3) // 4)::BIGINT AS width FROM nd),
@@ -1254,6 +1306,10 @@ def registry():
         "bm25_maxscore_routed_compressed": (q_maxscore_routed_compressed,
                                             SQL_RANKED_OR_DOCS),
         "bm25_ranked_and_routed": (q_ranked_and_routed, SQL_RANKED_AND),
+        "bm25_ranked_and_routed_compressed": (
+            q_ranked_and_routed_compressed, SQL_RANKED_AND_DOCS),
+        "bm25_block_max_wand_routed_compressed": (
+            q_block_max_wand_routed_compressed, SQL_RANKED_OR_DOCS),
         "bool_counts": (q_bool_counts, SQL_BOOL_COUNTS),
         "block_profile": (q_block_profile, SQL_BLOCK_PROFILE),
         "pairwise_intersect": (q_pairwise_intersect, SQL_PAIRWISE_INTERSECT),

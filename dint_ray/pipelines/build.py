@@ -359,33 +359,43 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         # ~24M scalar rows into width-per-block list rows at identical
         # payload bytes.
         width = _shuffle_width()
-        rep = (partial.drop_columns(["total_ints"])
-               .map_batches(_pack_stats_block, fn_kwargs={"width": width},
-                            batch_format="pyarrow", batch_size=None,
-                            num_cpus=1)
-               # materialized before the agg tasks run: streaming the
-               # keyed exchange straight into (num_cpus=1) agg tasks
-               # makes them fight the shuffle aggregators for slots and
-               # the stage backpressures itself — measured 2.3x slower.
-               .repartition(width, keys=["part"], sort=False).materialize())
-        cand = rep.map_batches(
-            _agg_packed_block,
-            fn_kwargs={"totals": totals, "cfg": cfg, "nctx": nctx},
-            batch_format="pyarrow", batch_size=None, num_cpus=1)
+        packed = (partial.drop_columns(["total_ints"])
+                  .map_batches(_pack_stats_block,
+                               fn_kwargs={"width": width},
+                               batch_format="pyarrow", batch_size=None,
+                               num_cpus=1).materialize())
+        # The exchange itself is DIRECT ray tasks, not a keyed
+        # repartition: moving the ~width x blocks packed rows through
+        # the hash-shuffle operator cost ~2 s of aggregator-actor
+        # machinery for ~600 rows (profiled).  Every agg task receives
+        # all packed block refs (plasma, zero-copy) and filters out
+        # exactly its bucket's rows — so each (stream,ctx,size,hash)
+        # group is COMPLETE within one task (part = hash % width),
+        # sums are exact, and no post-hoc dedup pass is needed, even
+        # if the executor split a pack output block (tasks filter by
+        # part value, not by block boundary).
+        prefs = [r for r in packed.to_arrow_refs()]
+
+        def _agg_part(p: int, totals, cfg, nctx, *tabs) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sel = [t.filter(pc.equal(t.column("part"), p))
+                   for t in tabs if t is not None and t.num_rows]
+            sel = [s for s in sel if s.num_rows]
+            if not sel:
+                return _agg_packed_block(
+                    _PACKED_STATS_SCHEMA.empty_table(),
+                    totals=totals, cfg=cfg, nctx=nctx)
+            return _agg_packed_block(
+                pa.concat_tables(sel, promote_options="default"),
+                totals=totals, cfg=cfg, nctx=nctx)
+
+        agg_t = ray.remote(num_cpus=1)(_agg_part)
+        cand = [agg_t.remote(p, totals, cfg, nctx, *prefs)
+                for p in range(width)]
         agg = pa.concat_tables(
-            [t for t in ray.get(cand.to_arrow_refs())
-             if t is not None and t.num_rows],
+            [t for t in ray.get(cand) if t is not None and t.num_rows],
             promote_options="default")
-        # The executor may split an oversized hash partition into
-        # several blocks, in which case agg_block saw partial freq
-        # sums for the split groups and emitted duplicate candidate
-        # rows.  Re-aggregate before the final winner selection so it
-        # ranks exact totals (the per-block preselect is then only a
-        # pre-filter; a split can at worst drop a borderline candidate
-        # — a dictionary-quality heuristic, never decode correctness).
-        agg = (agg.group_by(["stream", "ctx", "size", "hash"])
-               .aggregate([("freq", "sum")])
-               .rename_columns(["stream", "ctx", "size", "hash", "freq"]))
     _sub("exchange_and_agg")
 
     # winner selection on numpy views of the arrow columns (zero-copy

@@ -517,6 +517,76 @@ class _LocalWand:
         return self._n32 if dtype is np.float32 else self._n64
 
 
+class _QueryLocalIndex:
+    """SharedScoredIndex-protocol view over ONLY one query's decoded
+    lists — the transient-decode serving mode for compressed owners.
+
+    WAND / MaxScore run in C straight over the raw DINT payloads, but
+    the remaining query ops (ranked_and, ranked_or, block_max_wand,
+    and/or counts) consume the decoded-array protocol.  Rather than
+    hold the whole bucket decoded (what compressed storage exists to
+    avoid), the owner decodes just the <=64 lists a query names, wraps
+    them in this object, and reuses the SAME algorithm code — so
+    results are bit-identical to decoded owners while resident decoded
+    memory stays bounded by the decode cache, never the bucket."""
+
+    # _slc is assigned by algorithms._scored_lists (its per-index
+    # weight cache); it must be a declared slot or that write raises
+    # _slc is assigned by algorithms._scored_lists (its per-index
+    # weight cache); it must be a declared slot or that write raises.
+    # It dies with this per-query object — the owner-level reuse lives
+    # in the decode cache's per-term aux dict instead.
+    __slots__ = ("num_docs", "df_global", "_lists", "_slc")
+
+    def __init__(self, num_docs: int, df_global, lists: dict) -> None:
+        self.num_docs = num_docs
+        self.df_global = df_global
+        # term -> (docs_global, freqs, w32, aux) where aux caches
+        # per-term derived data (block bounds, float64 dtw) and is
+        # evicted together with the arrays by the owner's decode cache
+        self._lists = lists
+
+    def __contains__(self, term_id: int) -> bool:
+        return term_id in self._lists
+
+    def cached_decode(self, term_id: int):
+        e = self._lists[term_id]
+        return e[0], e[1]
+
+    decode = cached_decode
+
+    def size(self, term_id: int) -> int:
+        return len(self._lists[term_id][0])
+
+    def doc_term_weights(self, term_id: int, norms, dtype):
+        docs, freqs, w32, aux = self._lists[term_id]
+        if dtype is np.float32:
+            return w32
+        w = aux.get("dtw64")
+        if w is None:
+            from dint_ray.scoring import doc_term_weight
+
+            w = aux["dtw64"] = doc_term_weight(freqs, norms[docs], dtype)
+        return w
+
+    def enumerator(self, term_id: int):
+        from dint_ray.pipelines.serve import _ArrayEnumerator
+
+        docs, freqs = self.cached_decode(term_id)
+        return _ArrayEnumerator(docs, freqs, self.num_docs)
+
+    def block_bounds(self, term_id: int, norms, dtype):
+        docs, _, _, aux = self._lists[term_id]
+        key = ("bm", dtype is np.float32)
+        r = aux.get(key)
+        if r is None:
+            from dint_ray.index.shards import _block_bounds_of
+
+            r = aux[key] = _block_bounds_of(
+                docs, self.doc_term_weights(term_id, norms, dtype))
+        return r
+
+
 class PartitionScorer:
     """Owns ONE doc bucket: decodes its segments once in __init__ into
     flat arrays + pre-scored float32 weights, then serves whole query
@@ -531,7 +601,13 @@ class PartitionScorer:
     arrays) and per-query DRAM traffic shrinks to the compressed bytes
     of the blocks actually visited, which is what lets a fixed-memory
     node own a 100-TB-scale bucket.  Results are bit-identical to the
-    decoded path (same float32 op order, -ffp-contract=off)."""
+    decoded path (same float32 op order, -ffp-contract=off).  WAND and
+    MaxScore run in C over the raw payloads; every other query op
+    (ranked_and, ranked_or, block_max_wand, and/or counts) is served
+    by transient decode of just the query's lists (_QueryLocalIndex,
+    FIFO-bounded decode cache) — so a compressed owner covers the full
+    algorithm surface the decoded owners do, like the reference serves
+    every query op over every index type (src/queries.cpp:87-111)."""
 
     def __init__(self, index_dir: str, serve_dir: str, bucket: int,
                  storage: str = "decoded") -> None:
@@ -623,13 +699,25 @@ class PartitionScorer:
             ptr_by_slot = base_addr + offs[:-1]
             self._ptr_of = {t: int(ptr_by_slot[s])
                             for t, s in slot_of.items()}
+            # byte spans for the transient-decode path (ranked_and /
+            # ranked_or / block_max_wand / counts): offset+length into
+            # _payload_buf per term, so any algo the decoded owners
+            # serve can run here by decoding ONLY the query's lists
+            self._span_of = {t: (int(offs[s]), int(offs[s + 1] - offs[s]))
+                             for t, s in slot_of.items()}
+            self._codecs = (docs_codec, freqs_codec)
+            self._dec_cache: dict[int, tuple] = {}
+            self._dec_cached_postings = 0
             self._local_mw = mw
             self._universe = hi - self.base
+            self.wand = _LocalWand(_OffsetNorms(self.base, n32),
+                                   _OffsetNorms(self.base, n64), mw)
             bundle = load_codec_bundle(index_dir, manifest["dict_kind"])
             self._cw = nat.CompressedWand(bundle.docs_dict,
                                           bundle.freqs_dict, n32)
             self._qcache: dict[tuple, tuple] = {}
             self.n32 = n32
+            self._n64 = n64
             return
         starts = np.full(nterms, -1, dtype=np.int64)
         ends = np.zeros(nterms, dtype=np.int64)
@@ -709,9 +797,9 @@ class PartitionScorer:
         from dint_ray.scoring import query_term_weight
 
         if algo not in ("wand", "maxscore"):
-            raise ValueError(
-                "compressed owners serve algo in ('wand', 'maxscore') "
-                f"(got {algo!r})")
+            # every other query op the decoded owners serve runs here
+            # via transient decode of just the query's lists
+            return self._score_compressed_decoded(terms_list, algo, k)
         nq = len(terms_list)
         counts = np.empty(nq, dtype=np.int32)
         docs_out: list = []
@@ -752,6 +840,75 @@ class PartitionScorer:
             counts[i] = len(res)
             docs_out.extend(base + d for d, _ in res)
             scores_out.extend(s for _, s in res)
+        return (counts, np.asarray(docs_out, dtype=np.int64),
+                np.asarray(scores_out, dtype=np.float32))
+
+    # decoded-posting bytes kept resident by the transient-decode path
+    # (~12 B/posting); evicted FIFO so a compressed owner's decoded
+    # footprint stays bounded no matter the query stream
+    DEC_CACHE_MAX_POSTINGS = 4_000_000
+
+    def _decode_term(self, term: int):
+        """(docs_global u32, freqs u32, w32, aux) for one term, decoded
+        from the raw payload bytes exactly as the decoded-owner load
+        does — cached FIFO-bounded; aux holds per-term derived data
+        (block bounds, float64 dtw) evicted together with the arrays."""
+        hit = self._dec_cache.get(term)
+        if hit is not None:
+            return hit
+        span = self._span_of.get(term)
+        if span is None:
+            self._dec_cache[term] = False
+            return False
+        from dint_ray.index.layout import PostingListView
+        from dint_ray.scoring import doc_term_weight
+
+        off, ln = span
+        pl = self._payload_buf[off:off + ln].tobytes()
+        docs_codec, freqs_codec = self._codecs
+        rel, freqs = PostingListView(pl, docs_codec, freqs_codec).decode_all()
+        docs = rel.astype(np.uint32) + np.uint32(self.base)
+        w = doc_term_weight(freqs, self.n32[rel])
+        self._dec_cached_postings += len(docs)
+        while (self._dec_cached_postings > self.DEC_CACHE_MAX_POSTINGS
+               and self._dec_cache):
+            old = self._dec_cache.pop(next(iter(self._dec_cache)))
+            if old is not False:
+                self._dec_cached_postings -= len(old[0])
+        hit = self._dec_cache[term] = (docs, freqs, w, {})
+        return hit
+
+    def _query_local_index(self, terms) -> "_QueryLocalIndex":
+        lists = {}
+        for t in set(int(t) for t in terms):
+            hit = self._decode_term(t)
+            if hit is not False:
+                lists[t] = hit
+        return _QueryLocalIndex(self.num_docs, self.df_global, lists)
+
+    def _score_compressed_decoded(self, terms_list, algo: str, k: int):
+        """ranked_and / ranked_or / block_max_wand on a compressed
+        owner: decode only the query's lists (bounded cache), then run
+        the SAME algorithm code as decoded owners — bit-identical
+        results, resident memory bounded by DEC_CACHE_MAX_POSTINGS."""
+        from dint_ray.queries import algorithms as qa
+
+        fn = getattr(qa, algo)
+        nq = len(terms_list)
+        counts = np.empty(nq, dtype=np.int32)
+        docs_out: list = []
+        scores_out: list = []
+        prof = self._profile
+        for i, terms in enumerate(terms_list):
+            terms = list(terms)
+            idx = self._query_local_index(terms)
+            res = fn(idx, self.wand, terms, k)
+            counts[i] = len(res)
+            docs_out.extend(d for d, _ in res)
+            scores_out.extend(s for _, s in res)
+            for t in set(terms):
+                if t in idx:
+                    prof[t] = prof.get(t, 0) + 1
         return (counts, np.asarray(docs_out, dtype=np.int64),
                 np.asarray(scores_out, dtype=np.float32))
 
@@ -797,6 +954,13 @@ class PartitionScorer:
     def score_counts(self, qids, terms_list):
         from dint_ray.queries import algorithms as qa
 
+        if self.storage == "compressed":
+            out = []
+            for q, t in zip(qids, terms_list):
+                idx = self._query_local_index(list(t))
+                out.append((int(q), qa.and_count(idx, list(t)),
+                            qa.or_count(idx, list(t))))
+            return out
         return [(int(q), qa.and_count(self.index, list(t)),
                  qa.or_count(self.index, list(t)))
                 for q, t in zip(qids, terms_list)]

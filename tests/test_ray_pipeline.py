@@ -280,6 +280,58 @@ def test_routed_compressed_storage_identical(built):
                                   ref["score"].to_numpy())
 
 
+def test_compressed_owners_full_algo_surface(built):
+    """Compressed owners must serve EVERY query op the decoded owners
+    do (the reference serves all ops over every index type,
+    src/queries.cpp:87-111): ranked_and / ranked_or / block_max_wand
+    run via transient decode of only the query's lists and must be
+    rank- and score-identical to decoded-storage routed serving."""
+    from dint_ray.pipelines.partitioned import (
+        release_all_actors, run_queries_routed)
+
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    queries = generate_queries(25, vocab.size, seed=77)
+    for algo in ("ranked_and", "ranked_or", "block_max_wand"):
+        ref = run_queries_routed(queries_to_dataset(queries), out_dir,
+                                 algo=algo, k=10, num_buckets=3,
+                                 storage="decoded").to_pandas()
+        got = run_queries_routed(queries_to_dataset(queries), out_dir,
+                                 algo=algo, k=10, num_buckets=3,
+                                 storage="compressed").to_pandas()
+        ref = ref.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist(), algo
+        np.testing.assert_array_equal(got["score"].to_numpy(),
+                                      ref["score"].to_numpy(), err_msg=algo)
+    # drop the cached owner sets: their CPU reservations would starve
+    # the direct-build tests below on the 4-CPU test session
+    release_all_actors()
+
+
+def test_compressed_decode_cache_bounded(built):
+    """The transient-decode cache must evict FIFO and never hold more
+    than DEC_CACHE_MAX_POSTINGS decoded postings."""
+    from dint_ray.pipelines.partitioned import (
+        PartitionScorer, build_serve_partitions)
+
+    out_dir, manifest, oracle, vocab, sizes, num_docs = built
+    serve_dir = build_serve_partitions(out_dir, num_buckets=3)
+    sc = PartitionScorer(out_dir, serve_dir, 0, storage="compressed")
+    sc.DEC_CACHE_MAX_POSTINGS = 50
+    terms = [t for t in sorted(sc._span_of)][:40]
+    total_decoded = 0
+    for t in terms:
+        hit = sc._decode_term(t)
+        assert hit is not False
+        total_decoded += len(hit[0])
+        assert sc._dec_cached_postings <= max(
+            sc.DEC_CACHE_MAX_POSTINGS, len(hit[0]))
+    assert total_decoded > sc.DEC_CACHE_MAX_POSTINGS  # eviction happened
+    resident = sum(len(v[0]) for v in sc._dec_cache.values()
+                   if v is not False)
+    assert resident == sc._dec_cached_postings
+
+
 def test_direct_serve_build_matches_classic(built, tmp_path_factory):
     """The direct serve-layout build (pages -> bucket/term segments ->
     segment-mined dictionaries -> per-bucket encode, NO whole posting
