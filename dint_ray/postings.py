@@ -763,6 +763,61 @@ def build_posting_lists_joined(rows_ds, vocab_ds,
     return out
 
 
+# beyond this many (combine block x partition) task-argument refs the
+# direct exchange's O(blocks*width) driver-side ref fan-out costs more
+# than Ray's hash-shuffle machinery, which is built for that scale
+_DIRECT_EXCHANGE_MAX_REFS = 4_000_000
+
+
+def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
+                           fallback_keys=("term_id",)):
+    """Keyed exchange as DIRECT ray tasks instead of a hash
+    repartition: the map side tags every run row with its partition
+    (part_of: batch -> uint32 array), materializes, and one merge task
+    per partition filters its rows from ALL block refs (plasma,
+    zero-copy reads — only the selected rows are copied).  Groups are
+    complete per task because part is a pure function of the group
+    key.  Why: the hash-shuffle operator costs aggregator-actor
+    machinery and an extra payload copy-through; measured on the
+    500k-doc corpus this halves the posting merge (13.7 -> 8.3 s at 24
+    CPUs, 57.9 -> 17.4 s median at 6, digest-identical) and removes
+    the narrow-leg's shuffle self-contention variance.  Falls back to
+    the keyed repartition above _DIRECT_EXCHANGE_MAX_REFS total task
+    refs (ref fan-out is O(blocks x width) on the driver, the regime
+    hash shuffle is designed for)."""
+    import ray
+    import ray.data as rd
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("part", pa.array([], pa.uint32()))
+        return b.append_column("part", pa.array(part_of(b), pa.uint32()))
+
+    mat = runs_ds.map_batches(_add_part, batch_format="pyarrow",
+                              batch_size=None, num_cpus=1).materialize()
+    refs = mat.to_arrow_refs()
+    if len(refs) * width > _DIRECT_EXCHANGE_MAX_REFS:
+        return (mat.drop_columns(["part"])
+                .repartition(width, keys=list(fallback_keys), sort=False)
+                .map_batches(merge_fn, batch_format="pyarrow",
+                             batch_size=None))
+
+    def _merge_part(p: int, *tabs) -> pa.Table:
+        import pyarrow.compute as pc
+
+        avail = [t for t in tabs if t is not None and t.num_columns]
+        sel = [t.filter(pc.equal(t.column("part"), p)).drop_columns(["part"])
+               for t in avail if t.num_rows]
+        sel = [s for s in sel if s.num_rows]
+        if not sel:
+            empty = avail[0].drop_columns(["part"]).slice(0, 0)
+            return merge_fn(empty)
+        return merge_fn(pa.concat_tables(sel, promote_options="default"))
+
+    mt = ray.remote(num_cpus=1)(_merge_part)
+    return rd.from_arrow_refs([mt.remote(p, *refs) for p in range(width)])
+
+
 def _use_hash_shuffle() -> None:
     """Key-based repartition needs the hash-shuffle strategy; it is also
     the right engine for all of this pipeline's aggregations."""
@@ -840,9 +895,14 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
         # oracle entries).
         runs = keyed.map_batches(_merge_rows_block, batch_format="pyarrow",
                                  batch_size=combine_bs)
-        return runs.repartition(width, keys=["term_id"], sort=False) \
-                   .map_batches(_merge_runs_block, batch_format="pyarrow",
-                                batch_size=None)
+
+        def _part_of(b: pa.Table) -> np.ndarray:
+            tid = b.column("term_id").to_numpy()
+            return (tid.astype(np.uint64) % np.uint64(width)).astype(
+                np.uint32)
+
+        return _direct_merge_exchange(runs, width, _merge_runs_block,
+                                      _part_of)
     # salted, three vectorized hops with NO whole-list sort anywhere:
     #   A. per-block map-side combine into (term, bucket) runs — no
     #      exchange, ~one list row per (term, bucket, block) onward;
@@ -853,23 +913,30 @@ def build_posting_lists(rows_ds, vocab: Vocabulary,
     #      a lexsort repair for executor-split partitions).
     runs0 = keyed.map_batches(_runs_from_block, batch_format="pyarrow",
                               batch_size=combine_bs)
-    # materialize between exchange B and exchange C: two hash-shuffle
-    # operators in one streaming plan self-backpressure over
-    # aggregator CPU reservations (the engine-wide staging rule,
-    # README).  Here the intermediate is posting-sized, so the extra
-    # object-store pass is not free — still a consistent net win
-    # (interleaved A/B on the 500k-doc corpus: posting stage
-    # 19.2-23.6 s fused vs 13.4-18.3 s staged at 24 CPUs; 41.6-45.6
-    # vs 38.3 s at 6), digest-identical to the single-exchange index.
-    # DINT_SALT_STAGED=0 restores the fused plan for measurement.
-    runs = runs0.repartition(width, keys=["term_id", "bucket"], sort=False) \
-                .map_batches(_runs_from_runs_block, batch_format="pyarrow",
-                             batch_size=None)
-    if os.environ.get("DINT_SALT_STAGED", "1") == "1":
-        runs = runs.materialize()
-    return runs.repartition(width, keys=["term_id"], sort=False) \
-               .map_batches(_concat_sorted_runs_block, batch_format="pyarrow",
-                            batch_size=None)
+    # Both salted exchanges are direct task exchanges too (same
+    # rationale and measurement as the single path above).  The old
+    # staging materialize between exchanges B and C is subsumed: each
+    # direct exchange materializes its input internally and schedules
+    # no shuffle aggregators, so there is nothing left to
+    # self-backpressure.
+
+    def _part_bucket(b: pa.Table) -> np.ndarray:
+        tid = b.column("term_id").to_numpy().astype(np.uint64)
+        bkt = b.column("bucket").to_numpy().astype(np.uint64)
+        # mix both keys so one head term's buckets spread over tasks
+        return ((tid * np.uint64(0x9E3779B1) + bkt)
+                % np.uint64(width)).astype(np.uint32)
+
+    runs = _direct_merge_exchange(runs0, width, _runs_from_runs_block,
+                                  _part_bucket,
+                                  fallback_keys=("term_id", "bucket"))
+
+    def _part_term(b: pa.Table) -> np.ndarray:
+        tid = b.column("term_id").to_numpy()
+        return (tid.astype(np.uint64) % np.uint64(width)).astype(np.uint32)
+
+    return _direct_merge_exchange(runs, width, _concat_sorted_runs_block,
+                                  _part_term)
 
 
 def _partial_sizes(batch: pa.Table) -> pa.Table:
