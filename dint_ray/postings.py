@@ -85,6 +85,26 @@ def _coalesce(ds, width: int | None = None):
     return ds.repartition(width or _shuffle_width(), shuffle=False)
 
 
+def _exchange_splits() -> int:
+    """Output sub-blocks per direct-exchange merge task.
+
+    A direct task exchange at width == CPU count hands the downstream
+    actor-pool stages exactly one block per core, so `map_batches`
+    schedules one ~N-second task per block and the stage wall is
+    quantized at whole-task granularity (measured: 24 encode tasks of
+    2.2-3.1 s on a 21-actor pool run in two lopsided waves — 65 s of
+    work takes 11.5 s).  Raising the exchange WIDTH instead is a
+    measured net loss (posting stage 8.3 -> 15-19.5 s at width 4x24:
+    every merge task scans every block), so each merge task keeps its
+    full partition but returns `splits` row-interleaved sub-blocks via
+    num_returns — downstream pools get ~splits tasks per core to
+    load-balance, the exchange itself is unchanged, and the
+    interleaving spreads the Zipf head lists across sub-blocks.
+    DINT_EXCHANGE_SPLITS overrides for A/B runs ("1" = whole blocks)."""
+    env = os.environ.get("DINT_EXCHANGE_SPLITS")
+    return max(1, int(env)) if env else 4
+
+
 def tokenize_rows(pages_ds, cfg: BuildConfig = BuildConfig(), from_html: bool = False):
     """pages Dataset -> (doc_id, term, tf) rows Dataset (actor pool).
 
@@ -814,8 +834,27 @@ def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
             return merge_fn(empty)
         return merge_fn(pa.concat_tables(sel, promote_options="default"))
 
-    mt = ray.remote(num_cpus=1)(_merge_part)
-    return rd.from_arrow_refs([mt.remote(p, *refs) for p in range(width)])
+    splits = _exchange_splits()
+    if splits <= 1:
+        mt = ray.remote(num_cpus=1)(_merge_part)
+        return rd.from_arrow_refs([mt.remote(p, *refs)
+                                   for p in range(width)])
+
+    def _merge_part_split(p: int, *tabs):
+        out = _merge_part(p, *tabs)
+        n = out.num_rows
+        if n == 0:
+            return tuple(out for _ in range(splits))
+        # row-interleaved sub-blocks: take() compacts each slice (a
+        # pickled zero-copy slice can drag the parent buffers into the
+        # object store) and the stride spreads the heaviest lists —
+        # which sort first within a partition — across sub-blocks
+        return tuple(out.take(np.arange(i, n, splits, dtype=np.int64))
+                     for i in range(splits))
+
+    mts = ray.remote(num_cpus=1, num_returns=splits)(_merge_part_split)
+    return rd.from_arrow_refs([r for p in range(width)
+                               for r in mts.remote(p, *refs)])
 
 
 def _use_hash_shuffle() -> None:
