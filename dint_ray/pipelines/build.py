@@ -78,6 +78,33 @@ def _parquet_num_rows(path: str) -> int:
     return rd.read_parquet(path).count()
 
 
+def _read_blocks_floor(path: str) -> int | None:
+    """Read-task floor for the pages read: a few blocks per core.
+
+    One parquet file is one read task by default, and the tokenize
+    actor pool schedules one task per input BLOCK regardless of
+    batch_size — a single-file corpus serializes the stage entirely
+    (measured: tokenize wall flat at 6 vs 24 CPUs on one file, see
+    bench._scaling_fixture).  Ask for ~splits x CPUs blocks so few-file
+    inputs still load-balance; when the input already has more files
+    than that (any real crawl — and already at 32 files x 24 CPUs,
+    where an interleaved A/B measured this floor neutral), return None
+    and keep Ray's file-granular default — coalescing many files into
+    few read tasks is the failure mode this floor must never cause."""
+    import glob as _g
+
+    from dint_ray.postings import _exchange_splits, _shuffle_width
+
+    if os.environ.get("DINT_READ_FLOOR_OFF"):  # A/B escape hatch
+        return None
+    target = _shuffle_width() * _exchange_splits()
+    if os.path.isfile(path):
+        return target
+    nfiles = len(_g.glob(os.path.join(path, "**", "*.parquet"),
+                         recursive=True))
+    return target if nfiles < target else None
+
+
 def _gap_buffers(batch: pa.Table, stream: str) -> list:
     from dint_ray.util import list_views
 
@@ -597,7 +624,9 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
 
     # num_docs from parquet footers: no Ray pass just to count rows
     num_docs = _parquet_num_rows(pages_path)
-    pages = rd.read_parquet(pages_path, columns=[id_col, "html" if from_html else text_col])
+    pages = rd.read_parquet(pages_path,
+                            columns=[id_col, "html" if from_html else text_col],
+                            override_num_blocks=_read_blocks_floor(pages_path))
     stage_secs: dict[str, float] = {}
 
     def _tick(name: str, t0: float) -> float:
