@@ -1,0 +1,54 @@
+"""The num_returns sub-block split of the direct task exchange must be
+a pure re-blocking: same rows, same per-term postings, regardless of
+DINT_EXCHANGE_SPLITS — and the split outputs must actually be compact
+sub-blocks (more blocks than exchange width)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from dint_ray.fixtures import pages_fixture_path
+
+N_DOCS, VOCAB = 500, 80
+
+
+def _lists_by_term(splits: int, strategy: str):
+    import ray.data as rd
+
+    from dint_ray import postings as P
+    from dint_ray.config import BuildConfig
+
+    os.environ["DINT_EXCHANGE_SPLITS"] = str(splits)
+    try:
+        pages = pages_fixture_path(N_DOCS, VOCAB, seed=23)
+        cfg = BuildConfig(merge_strategy=strategy, salt_df_threshold=64,
+                          salt_bucket_docs=128)
+        rows = P.tokenize_rows(rd.read_parquet(pages), cfg)
+        vocab = P.build_vocabulary(rows)
+        lists = P.build_posting_lists(rows, vocab, cfg,
+                                      num_docs=N_DOCS).materialize()
+        out = {}
+        for r in lists.iter_rows():
+            assert r["term_id"] not in out, "duplicate term row"
+            out[r["term_id"]] = (np.asarray(r["docs"], dtype=np.uint64),
+                                 np.asarray(r["freqs"], dtype=np.uint64))
+        return out, lists.num_blocks()
+    finally:
+        os.environ.pop("DINT_EXCHANGE_SPLITS", None)
+
+
+@pytest.mark.parametrize("strategy", ["single", "salted"])
+def test_split_exchange_matches_whole_blocks(ray_session, strategy):
+    base, nblocks1 = _lists_by_term(1, strategy)
+    split, nblocks4 = _lists_by_term(4, strategy)
+    assert set(base) == set(split)
+    for tid, (docs, freqs) in base.items():
+        sd, sf = split[tid]
+        assert np.array_equal(docs, sd), f"term {tid} docs differ"
+        assert np.array_equal(freqs, sf), f"term {tid} freqs differ"
+    # the split path must emit MORE blocks (sub-block load balancing);
+    # equality would mean the splits silently collapsed
+    assert nblocks4 > nblocks1
