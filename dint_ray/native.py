@@ -1106,6 +1106,48 @@ void md5_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
         }
     }
 }
+
+/* CRC-32 (ISO-HDLC: poly 0xEDB88320, init/xorout 0xFFFFFFFF) over every
+   slice of data delimited by offsets — bit-identical to zlib.crc32, so
+   dedup digests keep matching the Python fallback path.  Slicing-by-8
+   (8 lookup tables, 8 bytes per step): byte-at-a-time measured
+   0.38 GB/s vs zlib's ~1.5; this closes the gap without a zlib link. */
+void crc32_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
+                 uint32_t *out) {
+    uint32_t tab[8][256];
+    uint32_t c;
+    int i, j, k;
+    for (i = 0; i < 256; i++) {
+        c = (uint32_t)i;
+        for (j = 0; j < 8; j++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : (c >> 1);
+        tab[0][i] = c;
+    }
+    for (k = 1; k < 8; k++)
+        for (i = 0; i < 256; i++)
+            tab[k][i] = (tab[k - 1][i] >> 8) ^ tab[0][tab[k - 1][i] & 0xFFu];
+    int64_t r;
+    for (r = 0; r < n; r++) {
+        const uint8_t *p = data + offsets[r];
+        int64_t len = offsets[r + 1] - offsets[r];
+        c = 0xFFFFFFFFu;
+        while (len >= 8) {
+            uint32_t lo = (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                        | ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+            uint32_t hi = (uint32_t)p[4] | ((uint32_t)p[5] << 8)
+                        | ((uint32_t)p[6] << 16) | ((uint32_t)p[7] << 24);
+            lo ^= c;
+            c = tab[7][lo & 0xFFu] ^ tab[6][(lo >> 8) & 0xFFu]
+              ^ tab[5][(lo >> 16) & 0xFFu] ^ tab[4][lo >> 24]
+              ^ tab[3][hi & 0xFFu] ^ tab[2][(hi >> 8) & 0xFFu]
+              ^ tab[1][(hi >> 16) & 0xFFu] ^ tab[0][hi >> 24];
+            p += 8; len -= 8;
+        }
+        while (len-- > 0)
+            c = tab[0][(c ^ *p++) & 0xFFu] ^ (c >> 8);
+        out[r] = c ^ 0xFFFFFFFFu;
+    }
+}
 """
 
 _CDEF = """
@@ -1156,6 +1198,8 @@ int64_t maxscore_compressed_query(
         int64_t *out_docs, float *out_scores);
 void md5_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
                uint8_t *out);
+void crc32_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
+                 uint32_t *out);
 """
 
 _lib = None
@@ -1312,7 +1356,25 @@ def interp_encode(gaps: np.ndarray, sum_of_values: int) -> bytes | None:
     return out[:got].tobytes()
 
 
-def md5_batch(data: bytes, offsets: np.ndarray) -> np.ndarray | None:
+def crc32_batch(data, offsets: np.ndarray) -> np.ndarray | None:
+    """zlib-identical CRC-32 for every slice of ``data`` (any buffer,
+    e.g. an Arrow string value buffer) delimited by ``offsets`` (int64,
+    len n+1), as a uint32 array.  None -> no compiler; callers fall
+    back to zlib.crc32 per slice."""
+    ffi, lib = get_lib()
+    if lib is None:
+        return None
+    n = len(offsets) - 1
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty(n, dtype=np.uint32)
+    lib.crc32_batch(
+        ffi.cast("const uint8_t *", ffi.from_buffer(data)),
+        ffi.cast("const int64_t *", offsets.ctypes.data), n,
+        ffi.cast("uint32_t *", out.ctypes.data))
+    return out
+
+
+def md5_batch(data, offsets: np.ndarray) -> np.ndarray | None:
     """16-byte MD5 digests for every slice of ``data`` delimited by
     ``offsets`` (int64, len n+1), as an (n, 16) uint8 array.  Output is
     bit-identical to hashlib.md5 per slice (asserted in tests) — the

@@ -35,40 +35,60 @@ _tok = re.compile(TOKEN_RE)
 # exact dedup
 # --------------------------------------------------------------------------
 
-def add_text_hash(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    h = np.asarray([zlib.crc32(t.encode()) for t in texts], dtype=np.int64)
-    return batch.append_column("text_hash", pa.array(h, pa.int64()))
+def _utf8_view(col) -> tuple:
+    """(value buffer, int64 offsets) of a text column, zero-copy.
+
+    Arrow string storage IS contiguous UTF-8 + offsets, so the digest
+    kernels can hash the slices in place — no to_pylist() round-trip
+    through Python str, no re-encode, no corpus-sized join."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):  # 0-chunk edge of combine_chunks
+        arr = pa.concat_arrays(arr.chunks or [pa.array([], pa.string())])
+    if arr.null_count:
+        raise ValueError("text column contains nulls")
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:  # dictionary/binary etc. — normalize once
+        arr = arr.cast(pa.string())
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    if buffers[1] is None or buffers[2] is None:  # empty array
+        return memoryview(b""), np.zeros(len(arr) + 1, dtype=np.int64)
+    offs = np.frombuffer(buffers[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    return memoryview(buffers[2]), offs
 
 
 def _digest_rows(batch: pa.Table) -> pa.Table:
     """(doc_id, crc32, byte length, md5) per doc — 28 B of fixed-width
     group key instead of the full text, so the dedup exchange ships
-    ~the digest size rather than ~the corpus size."""
+    ~the digest size rather than ~the corpus size.  Hashing runs over
+    the Arrow value buffer in place (C kernels; zlib/hashlib slice
+    fallback), never materializing Python strings."""
     from dint_ray import native
 
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = batch.column("text").to_pylist()
-    crc = np.empty(len(texts), dtype=np.int64)
-    lens = np.empty(len(texts), dtype=np.int64)
-    enc = []
-    for i, t in enumerate(texts):
-        b = t.encode()
-        crc[i] = zlib.crc32(b)
-        lens[i] = len(b)
-        enc.append(b)
-    offs = np.zeros(len(enc) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    raw = native.md5_batch(b"".join(enc), offs) if enc else None
+    data, offs = _utf8_view(batch.column("text"))
+    n = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    crc = native.crc32_batch(data, offs) if n else None
+    if crc is None:
+        crc = np.fromiter(
+            (zlib.crc32(data[offs[i]:offs[i + 1]]) for i in range(n)),
+            dtype=np.uint32, count=n)
+    raw = native.md5_batch(data, offs) if n else None
     if raw is not None:
-        md5s = [raw[i].tobytes() for i in range(len(enc))]
+        md5s = [raw[i].tobytes() for i in range(n)]
     else:
         import hashlib
 
-        md5s = [hashlib.md5(b).digest() for b in enc]
+        md5s = [hashlib.md5(data[offs[i]:offs[i + 1]]).digest()
+                for i in range(n)]
     return pa.table({
         "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-        "crc": pa.array(crc, pa.int64()),
+        "crc": pa.array(crc.astype(np.int64), pa.int64()),
         "tlen": pa.array(lens, pa.int64()),
         "md5": pa.array(md5s, pa.binary()),
     })
@@ -88,7 +108,10 @@ def exact_dedup_ds(docs_ds):
     dint_ray.ensure_tuned()
     from ray.data.aggregate import Min
 
-    digests = docs_ds.map_batches(_digest_rows, batch_format="pyarrow")
+    from dint_ray.ops import project_columns
+
+    digests = project_columns(docs_ds).map_batches(
+        _digest_rows, batch_format="pyarrow")
     agg = digests.groupby(["crc", "tlen", "md5"]).aggregate(
         Min("doc_id", alias_name="doc_id"))
     return agg.select_columns(["doc_id"])
@@ -399,6 +422,9 @@ def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
     """LSH candidate pairs (may include false positives; verify after)."""
     import dint_ray
     dint_ray.ensure_tuned()
+    from dint_ray.ops import project_columns
+
+    docs_ds = project_columns(docs_ds)
     concurrency = concurrency or _derived_concurrency()
     exploded = docs_ds.map_batches(
         MinHasher,
@@ -478,6 +504,9 @@ def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
     dint_ray.ensure_tuned()
     from ray.data.aggregate import Count
 
+    from dint_ray.ops import project_columns
+
+    docs_ds = project_columns(docs_ds)
     concurrency = concurrency or _derived_concurrency()
     num_partitions = num_partitions or min(64, max(16,
                                                    _derived_concurrency()))
@@ -723,7 +752,9 @@ def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
     band), verify distance."""
     import dint_ray
     dint_ray.ensure_tuned()
-    sigs = docs_ds.map_batches(SimHasher, batch_format="pyarrow",
+    from dint_ray.ops import project_columns
+
+    sigs = project_columns(docs_ds).map_batches(SimHasher, batch_format="pyarrow",
                                batch_size=1024, concurrency=(1, concurrency),
                                num_cpus=1)
     band_spec = _simhash_bands(max_hamming)
@@ -810,13 +841,22 @@ def embedding_dup_pairs_ds(emb_ds, threshold: float = 0.95,
         if batch.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "vec": pa.array([], pa.binary())})
-        ids = batch.column("vec_id").to_numpy().astype(np.int64)
-        mat = np.stack([np.asarray(v, dtype=np.float64)
-                        for v in batch.column("embedding").to_pylist()])
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        from dint_ray.ops.simsearch import _to_matrix
+
+        ids, mat = _to_matrix(batch, id_col="vec_id")
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        width = mat.shape[1] * 8
+        if width:
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(width), len(ids),
+                [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+            vec = fsb.cast(pa.binary())
+        else:
+            vec = pa.array([b""] * len(ids), pa.binary())
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
-            "vec": pa.array([row.tobytes() for row in mat], pa.binary()),
+            "vec": vec,
         })
 
     mat_ds = emb_ds.map_batches(norm_block, batch_format="pyarrow",
@@ -840,9 +880,15 @@ def embedding_dup_pairs_ds(emb_ds, threshold: float = 0.95,
             if got is None:
                 t = ray.get(self.refs[i])
                 ids = t.column("vec_id").to_numpy().astype(np.int64)
-                rows = [np.frombuffer(b, dtype=np.float64)
-                        for b in t.column("vec").to_pylist()]
-                mat = np.stack(rows) if rows else np.empty((0, 1))
+                raw, w = _fixed_width_bytes(t.column("vec"))
+                if raw is not None and w % 8 == 0:
+                    # contiguous float64 rows — view in place
+                    mat = np.ascontiguousarray(raw).view(
+                        np.float64).reshape(len(ids), w // 8)
+                else:
+                    rows = [np.frombuffer(b, dtype=np.float64)
+                            for b in t.column("vec").to_pylist()]
+                    mat = np.stack(rows) if rows else np.empty((0, 1))
                 if len(self._cache) > 4:    # bounded per-actor cache
                     self._cache.pop(next(iter(self._cache)))
                 got = self._cache[i] = (ids, mat)
@@ -935,6 +981,9 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
     dint_ray.ensure_tuned()
     from ray.data.aggregate import Count
 
+    from dint_ray.ops import project_columns
+
+    docs_ds = project_columns(docs_ds)
     shingles = docs_ds.map_batches(
         _ShingleRows, fn_constructor_kwargs={"k": k},
         batch_format="pyarrow", batch_size=1024,
@@ -972,9 +1021,18 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
     num_buckets = 64
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        h = np.asarray([zlib.crc32(s.encode()) % num_buckets
-                        for s in batch.column("shingle").to_pylist()],
-                       dtype=np.int32)
+        from dint_ray import native
+
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], pa.int32()))
+        data, offs = _utf8_view(batch.column("shingle"))
+        crc = native.crc32_batch(data, offs)
+        if crc is None:  # no compiler — zlib over the same buffer
+            n = len(offs) - 1
+            crc = np.fromiter(
+                (zlib.crc32(data[offs[i]:offs[i + 1]]) for i in range(n)),
+                dtype=np.uint32, count=n)
+        h = (crc % num_buckets).astype(np.int32)
         return batch.append_column("bucket", pa.array(h, pa.int32()))
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:

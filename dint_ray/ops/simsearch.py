@@ -23,7 +23,29 @@ import pyarrow as pa
 
 def _to_matrix(tbl: pa.Table, id_col="vec_id", vec_col="embedding",
                dtype=np.float64):
+    """(ids, (n, d) matrix) from an Arrow list column, zero-copy: the
+    list values ARE a flat numeric buffer, so reshape replaces the old
+    per-row to_pylist()/np.stack round-trip (this runs per batch in
+    every kNN scoring task)."""
     ids = tbl.column(id_col).to_numpy().astype(np.int64)
+    arr = tbl.column(vec_col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # older pyarrow
+        arr = (arr.chunk(0) if arr.num_chunks == 1
+               else pa.concat_arrays(arr.chunks))
+    n = len(arr)
+    if n and arr.null_count == 0:
+        if pa.types.is_fixed_size_list(arr.type):
+            flat = arr.flatten()
+            d = arr.type.list_size
+        else:
+            import pyarrow.compute as pc
+
+            lens = pc.list_value_length(arr).to_numpy()
+            d = int(lens[0]) if len(lens) else 0
+            flat = arr.flatten() if (lens == d).all() else None
+        if flat is not None and d:
+            vals = flat.to_numpy(zero_copy_only=False)
+            return ids, vals.astype(dtype, copy=False).reshape(n, d)
     mat = np.stack([np.asarray(v, dtype=dtype)
                     for v in tbl.column(vec_col).to_pylist()])
     return ids, mat

@@ -104,7 +104,9 @@ class Fingerprint:
 def text_stats_ds(docs_ds, concurrency: int = 8):
     import dint_ray
     dint_ray.ensure_tuned()
-    return docs_ds.map_batches(TextStats, batch_format="pyarrow",
+    from dint_ray.ops import project_columns
+
+    return project_columns(docs_ds).map_batches(TextStats, batch_format="pyarrow",
                                batch_size=1024, concurrency=(1, concurrency),
                                num_cpus=1)
 
@@ -112,7 +114,9 @@ def text_stats_ds(docs_ds, concurrency: int = 8):
 def lang_id_ds(docs_ds, concurrency: int = 8):
     import dint_ray
     dint_ray.ensure_tuned()
-    return docs_ds.map_batches(LangId, batch_format="pyarrow",
+    from dint_ray.ops import project_columns
+
+    return project_columns(docs_ds).map_batches(LangId, batch_format="pyarrow",
                                batch_size=1024, concurrency=(1, concurrency),
                                num_cpus=1)
 
@@ -120,6 +124,8 @@ def lang_id_ds(docs_ds, concurrency: int = 8):
 def fingerprint_ds(docs_ds, concurrency: int = 8):
     import dint_ray
     dint_ray.ensure_tuned()
-    return docs_ds.map_batches(Fingerprint, batch_format="pyarrow",
+    from dint_ray.ops import project_columns
+
+    return project_columns(docs_ds).map_batches(Fingerprint, batch_format="pyarrow",
                                batch_size=1024, concurrency=(1, concurrency),
                                num_cpus=1)

@@ -203,6 +203,45 @@ def test_native_md5_batch_matches_hashlib():
         assert out[i].tobytes() == hashlib.md5(s).digest()
 
 
+def test_native_crc32_batch_matches_zlib():
+    """The C crc32 kernel must be bit-identical to zlib.crc32 (the
+    exact-dedup digest key and its Python fallback depend on it)."""
+    import zlib
+
+    from dint_ray import native
+
+    if not native.available():  # pragma: no cover - no compiler
+        import pytest
+
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(6)
+    strs = [b"", b"a", b"hello world", b"\x00" * 64]
+    strs += [rng.bytes(int(rng.integers(0, 300))) for _ in range(500)]
+    offs = np.zeros(len(strs) + 1, np.int64)
+    np.cumsum([len(s) for s in strs], out=offs[1:])
+    out = native.crc32_batch(b"".join(strs), offs)
+    for i, s in enumerate(strs):
+        assert int(out[i]) == zlib.crc32(s)
+
+
+def test_digest_rows_zero_copy_matches_python():
+    """_digest_rows over the Arrow buffers (sliced, multibyte UTF-8)
+    must equal per-row zlib/hashlib digests."""
+    import hashlib
+    import zlib
+
+    texts = ["", "hello", "wörld ünïcode", "x" * 200, "emoji \U0001f600"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    for tbl in (t, t.slice(1, 3)):
+        out = dedup._digest_rows(tbl)
+        for i, txt in enumerate(tbl.column("text").to_pylist()):
+            b = txt.encode()
+            assert out.column("crc")[i].as_py() == zlib.crc32(b)
+            assert out.column("tlen")[i].as_py() == len(b)
+            assert out.column("md5")[i].as_py() == hashlib.md5(b).digest()
+
+
 def test_batch_signatures_match_per_doc():
     """_batch_signatures (reduceat path) == minhash_signature per doc,
     including empty-shingle docs (max-filled signature)."""
