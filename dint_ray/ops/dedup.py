@@ -94,27 +94,56 @@ def _digest_rows(batch: pa.Table) -> pa.Table:
     })
 
 
+def _min_by_digest(t: pa.Table) -> pa.Table:
+    """One partition's digest rows -> min doc_id per (crc, tlen, md5)
+    group (Arrow group_by, no Python rows)."""
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    g = t.group_by(["crc", "tlen", "md5"]).aggregate([("doc_id", "min")])
+    return g.select(["doc_id_min"]).rename_columns(["doc_id"])
+
+
 def exact_dedup_ds(docs_ds):
     """Keep the smallest doc_id per identical text; returns Dataset of
     kept (doc_id) rows.
 
-    Shape: hash-partition by content DIGEST + per-group min — one
-    native groupby((crc32, len, md5)).min(doc_id) shuffle, no per-group
-    Python.  The exchange carries 28-byte digests, never the text (the
-    former (text_hash, text) key shipped the whole corpus as group
-    keys — VERDICT r2 item 6).  Exactness: two texts collide only if
-    crc32 AND byte length AND md5 all collide simultaneously."""
+    Shape: hash-partition by content DIGEST + per-group min.  The
+    exchange carries 28-byte digests, never the text (the former
+    (text_hash, text) key shipped the whole corpus as group keys —
+    VERDICT r2 item 6), and it is a DIRECT task exchange
+    (postings._direct_merge_exchange): profiled at 24 CPUs, Ray's
+    hash-aggregate operator spent 15.5 s of a 15.6 s wall moving the
+    22 MB digest table (per-row-bound aggregator machinery, 354 ms
+    mean per 98 KB block); one Arrow group_by task per crc%width
+    partition does the same reduction in ~1 s.  Groups are complete
+    per task because the partition is a pure function of crc.
+    Exactness: two texts collide only if crc32 AND byte length AND md5
+    all collide simultaneously."""
     import dint_ray
     dint_ray.ensure_tuned()
-    from ray.data.aggregate import Min
-
     from dint_ray.ops import project_columns
+    from dint_ray.postings import _direct_merge_exchange, _shuffle_width
 
     digests = project_columns(docs_ds).map_batches(
         _digest_rows, batch_format="pyarrow")
-    agg = digests.groupby(["crc", "tlen", "md5"]).aggregate(
-        Min("doc_id", alias_name="doc_id"))
-    return agg.select_columns(["doc_id"])
+    width = _shuffle_width()
+
+    def _part_of(b: pa.Table) -> np.ndarray:
+        crc = b.column("crc").to_numpy(zero_copy_only=False)
+        return (crc.astype(np.uint64) % np.uint64(width)).astype(np.uint32)
+
+    def _groupby_fallback(ds):
+        # a split keyed partition would yield two mins for one digest,
+        # so past the direct exchange's ref cap use the real aggregate
+        from ray.data.aggregate import Min
+
+        return (ds.groupby(["crc", "tlen", "md5"])
+                .aggregate(Min("doc_id", alias_name="doc_id"))
+                .select_columns(["doc_id"]))
+
+    return _direct_merge_exchange(digests, width, _min_by_digest, _part_of,
+                                  fallback_keys=("crc", "tlen", "md5"),
+                                  fallback=_groupby_fallback)
 
 
 # --------------------------------------------------------------------------

@@ -790,7 +790,7 @@ _DIRECT_EXCHANGE_MAX_REFS = 4_000_000
 
 
 def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
-                           fallback_keys=("term_id",)):
+                           fallback_keys=("term_id",), fallback=None):
     """Keyed exchange as DIRECT ray tasks instead of a hash
     repartition: the map side tags every run row with its partition
     (part_of: batch -> uint32 array), materializes, and one merge task
@@ -817,6 +817,14 @@ def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
                               batch_size=None, num_cpus=1).materialize()
     refs = mat.to_arrow_refs()
     if len(refs) * width > _DIRECT_EXCHANGE_MAX_REFS:
+        # `fallback` (if given) must be safe when the executor splits a
+        # keyed partition into several blocks — the generic
+        # repartition+merge_fn path assumes merge_fn tolerates a group
+        # arriving in more than one batch (true for the posting merges,
+        # whose duplicate fragments are re-merged at owner load; NOT
+        # true for single-row-per-group reductions like dedup's min)
+        if fallback is not None:
+            return fallback(mat.drop_columns(["part"]))
         return (mat.drop_columns(["part"])
                 .repartition(width, keys=list(fallback_keys), sort=False)
                 .map_batches(merge_fn, batch_format="pyarrow",

@@ -145,6 +145,23 @@ def test_exact_dedup_digest_keys_no_text_in_exchange():
     assert kept == [0, 1, 3]
 
 
+def test_exact_dedup_fallback_matches_direct_exchange(monkeypatch):
+    """Past the direct exchange's ref cap, exact dedup must switch to
+    the real groupby aggregate (a split keyed partition would emit two
+    mins per digest on the generic repartition fallback) and return the
+    identical kept set."""
+    from dint_ray import postings
+
+    texts = [f"doc {i % 13} body" for i in range(60)] + ["solo"]
+    direct = sorted(r["doc_id"] for r in
+                    dedup.exact_dedup_ds(_docs(texts)).take_all())
+    monkeypatch.setattr(postings, "_DIRECT_EXCHANGE_MAX_REFS", 0)
+    fb = sorted(r["doc_id"] for r in
+                dedup.exact_dedup_ds(_docs(texts)).take_all())
+    assert fb == direct
+    assert fb == sorted({texts.index(t) for t in set(texts)})
+
+
 def test_ngram_jaccard_hot_shingle_guard_bounds_pairs():
     """A shingle shared by every doc must not emit O(n^2) pairs when
     its df exceeds max_shingle_df; discriminative shingles still pair."""
