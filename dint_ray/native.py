@@ -1148,6 +1148,37 @@ void crc32_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
         out[r] = c ^ 0xFFFFFFFFu;
     }
 }
+
+/* MinHash signatures over per-doc shingle-id slices: doc d's ids are
+   sid[offsets[d] .. offsets[d+1]); out[d*nh + h] = min over ids x of
+   (a[h]*x + b[h]) mod (2^31 - 1).  The modulus is Mersenne, so the
+   reduction is two fold steps + one conditional subtract — exact
+   (bit-identical to the %-based numpy/SQL arithmetic, asserted in
+   tests) and division-free.  Bounds: x < 2^32 and a,b < 2^31-1, so
+   a*x+b < 2^63 + 2^31 fits uint64; after fold one v < 2^32 + 2^31,
+   after fold two v < P + 4 < 2P.  Empty docs keep the UINT64_MAX
+   sentinel rows (same as the Python path). */
+void minhash_sigs(const uint64_t *sid, const int64_t *offsets,
+                  int64_t ndocs, const uint64_t *a, const uint64_t *b,
+                  int nh, uint64_t *out) {
+    const uint64_t P = 2147483647ULL;
+    int64_t d, i;
+    int h;
+    for (d = 0; d < ndocs; d++) {
+        uint64_t *row = out + d * (int64_t)nh;
+        for (h = 0; h < nh; h++) row[h] = UINT64_MAX;
+        for (i = offsets[d]; i < offsets[d + 1]; i++) {
+            uint64_t x = sid[i];
+            for (h = 0; h < nh; h++) {
+                uint64_t v = a[h] * x + b[h];
+                v = (v & P) + (v >> 31);
+                v = (v & P) + (v >> 31);
+                if (v >= P) v -= P;
+                if (v < row[h]) row[h] = v;
+            }
+        }
+    }
+}
 """
 
 _CDEF = """
@@ -1200,6 +1231,9 @@ void md5_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
                uint8_t *out);
 void crc32_batch(const uint8_t *data, const int64_t *offsets, int64_t n,
                  uint32_t *out);
+void minhash_sigs(const uint64_t *sid, const int64_t *offsets,
+                  int64_t ndocs, const uint64_t *a, const uint64_t *b,
+                  int nh, uint64_t *out);
 """
 
 _lib = None
@@ -1390,6 +1424,32 @@ def md5_batch(data, offsets: np.ndarray) -> np.ndarray | None:
         ffi.cast("const uint8_t *", ffi.from_buffer(data)),
         ffi.cast("const int64_t *", offsets.ctypes.data), n,
         ffi.cast("uint8_t *", out.ctypes.data))
+    return out
+
+
+def minhash_sigs(sid: np.ndarray, offsets: np.ndarray, a: np.ndarray,
+                 b: np.ndarray) -> np.ndarray | None:
+    """(ndocs, nh) MinHash signature matrix over concatenated per-doc
+    shingle ids (uint64 < 2^32) sliced by ``offsets`` (int64, len
+    ndocs+1): out[d, h] = min over doc d's ids of (a[h]*x + b[h]) mod
+    (2^31-1), bit-identical to the %-based numpy path (Mersenne-fold
+    reduction, asserted in tests).  None -> no compiler."""
+    ffi, lib = get_lib()
+    if lib is None:
+        return None
+    ndocs = len(offsets) - 1
+    nh = len(a)
+    sid = np.ascontiguousarray(sid, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    out = np.empty((ndocs, nh), dtype=np.uint64)
+    lib.minhash_sigs(
+        ffi.cast("const uint64_t *", sid.ctypes.data),
+        ffi.cast("const int64_t *", offsets.ctypes.data), ndocs,
+        ffi.cast("const uint64_t *", a.ctypes.data),
+        ffi.cast("const uint64_t *", b.ctypes.data), nh,
+        ffi.cast("uint64_t *", out.ctypes.data))
     return out
 
 

@@ -213,6 +213,77 @@ def _shingle_digests(text: str, k: int):
     return s60, s32
 
 
+def _doc_shingle_spans(text: str, k: int):
+    """(normalized utf-8 bytes, start, end) byte spans of every
+    k-shingle of ``text``: shingle i == " ".join(toks[i:i+k]) IS the
+    slice norm[s_i:e_i] of norm = " ".join(toks), and the [a-z0-9]+
+    token alphabet makes norm pure ASCII, so char spans are byte
+    spans.  Duplicate shingles are KEPT (consumers unique after the
+    hash) — deduping here would rebuild the per-shingle Python strings
+    this path exists to avoid."""
+    toks = _tok.findall(text.lower())
+    n = len(toks)
+    if not n:
+        z = np.empty(0, np.int64)
+        return b"", z, z
+    nb = " ".join(toks).encode()
+    if n < k:
+        return nb, np.zeros(1, np.int64), np.array([len(nb)], np.int64)
+    tl = np.fromiter(map(len, toks), np.int64, n)
+    pos = np.zeros(n, np.int64)
+    np.cumsum(tl[:-1] + 1, out=pos[1:])
+    return nb, pos[:n - k + 1], pos[k - 1:] + tl[k - 1:]
+
+
+def _batch_shingle_u64(texts: list[str], k: int):
+    """(u64 shingle ids concatenated across docs, int64 doc offsets):
+    md5-prefix ids for EVERY shingle occurrence (duplicates included)
+    of every text, hashed by ONE md5_batch C call for the whole doc
+    batch.  Value-identical to per-doc _md5_u64(_shingles(t, k)) up to
+    duplicates — np.unique of any shift matches exactly (asserted in
+    tests).  The per-shingle " ".join / .encode() Python objects of the
+    join path are replaced by a vectorized byte gather over each doc's
+    normalized buffer."""
+    chunks: list[bytes] = []
+    lens_list: list[np.ndarray] = []
+    counts = np.zeros(len(texts) + 1, np.int64)
+    for i, t in enumerate(texts):
+        nb, s, e = _doc_shingle_spans(t, k)
+        m = len(s)
+        counts[i + 1] = m
+        if not m:
+            continue
+        arr = np.frombuffer(nb, np.uint8)
+        ln = e - s
+        total = int(ln.sum())
+        st = np.zeros(m, np.int64)
+        np.cumsum(ln[:-1], out=st[1:])
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(st, ln) + np.repeat(s, ln))
+        chunks.append(arr[idx].tobytes())
+        lens_list.append(ln)
+    offsets = np.cumsum(counts)
+    nsh = int(offsets[-1])
+    if nsh == 0:
+        return np.empty(0, np.uint64), offsets
+    all_lens = np.concatenate(lens_list)
+    moffs = np.zeros(nsh + 1, np.int64)
+    np.cumsum(all_lens, out=moffs[1:])
+    buf = b"".join(chunks)
+    from dint_ray import native
+
+    raw = native.md5_batch(buf, moffs)
+    if raw is not None:
+        return raw[:, :8].reshape(-1).view(">u8").astype(np.uint64), offsets
+    import hashlib
+
+    u = np.fromiter(
+        (int.from_bytes(hashlib.md5(buf[moffs[j]:moffs[j + 1]]).digest()[:8],
+                        "big") for j in range(nsh)),
+        np.uint64, nsh)
+    return u, offsets
+
+
 def minhash_signature(sid32: np.ndarray, num_hashes: int = 64) -> np.ndarray:
     """(a*x + b) mod p universal-hash MinHash over 32-bit shingle ids;
     products stay < 2^63, so the arithmetic is exact (and matches the
@@ -233,9 +304,22 @@ def _batch_signatures(texts: list[str], shingle_k: int,
     ~64k-shingle chunk instead of four per document."""
     if not texts:
         return np.empty((0, num_hashes), np.uint64)
+    from dint_ray import native
+
     a, b = _mh_params(num_hashes)
-    sids = [_shingle_digests(t, shingle_k)[1] for t in texts]
-    counts = np.array([len(s) for s in sids], dtype=np.int64)
+    # duplicates ride along (min is idempotent); sid32 = u64 >> 32
+    u, offsets = _batch_shingle_u64(texts, shingle_k)
+    allx = u >> np.uint64(32)
+    # one fused C pass over (shingle, hash): no (shingles x nh) matrix
+    # materializes and the Mersenne modulus is two fold steps instead
+    # of a per-element uint64 division — the %-based matrix was 73% of
+    # the signature stage's wall at 500k docs (bit-identical output,
+    # asserted in tests)
+    out = native.minhash_sigs(allx, offsets, a, b)
+    if out is not None:
+        return out
+    sids = [allx[offsets[i]:offsets[i + 1]] for i in range(len(texts))]
+    counts = np.diff(offsets)
     sigs = np.full((len(texts), num_hashes), np.iinfo(np.uint64).max,
                    dtype=np.uint64)
     nonempty = np.flatnonzero(counts)
@@ -253,8 +337,13 @@ def _batch_signatures(texts: list[str], shingle_k: int,
             total += counts[nonempty[end]]
             end += 1
         docs = nonempty[start:end]
-        allx = np.concatenate([sids[i] for i in docs])
-        hv = (allx[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
+        chunk = np.concatenate([sids[i] for i in docs])
+        hv = chunk[:, None] * a[None, :] + b[None, :]
+        # same Mersenne fold as the kernel (exact: hv < 2^63 + 2^31;
+        # two folds bring it under 2P, one masked subtract finishes)
+        hv = (hv & _MH_PRIME) + (hv >> np.uint64(31))
+        hv = (hv & _MH_PRIME) + (hv >> np.uint64(31))
+        hv -= _MH_PRIME * (hv >= _MH_PRIME)
         starts = np.zeros(len(docs), dtype=np.int64)
         np.cumsum(counts[docs][:-1], out=starts[1:])
         sigs[docs] = np.minimum.reduceat(hv, starts, axis=0)
@@ -455,24 +544,40 @@ def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
 
     docs_ds = project_columns(docs_ds)
     concurrency = concurrency or _derived_concurrency()
+    # pool floor + 4k batches: the autoscaling ramp from 1 actor and
+    # the per-1k-batch overhead cost ~2-3 s of an 11.5 s signature
+    # stage at 24 CPUs / 500k docs.  The floor stays well under the
+    # CPU budget — a FIXED pool sized to the whole cluster deadlocks
+    # the upstream read (actors reserve every CPU, read tasks starve)
+    min_actors = max(1, min(4, concurrency // 4))
     exploded = docs_ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_hashes": num_hashes,
                                "shingle_k": shingle_k, "bands": bands},
-        batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, concurrency), num_cpus=1,
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(min_actors, concurrency), num_cpus=1,
     )
-    # one hash partition per map task: every (band_id, band_hash)
-    # group lands whole in one _pairs_from_rows batch (batch_size=None
-    # -> per-block).  Partition count scales with the cluster, capped
-    # by the bucket count; each partition stays far below the
-    # executor's block-split threshold (bands * ndocs rows / nparts).
+    # every (band_id, band_hash) group lands whole in one
+    # _pairs_from_rows call: part is a pure function of bucket, itself
+    # a pure function of (band_id, band_hash), and the DIRECT task
+    # exchange (postings._direct_merge_exchange) hands each part ALL
+    # its rows in one table — the former keys= repartition pushed the
+    # 8M exploded band rows through Ray's per-row-bound hash-shuffle
+    # machinery (10.6 s of the 25 s wall at 24 CPUs / 500k docs).
+    # Past the ref cap the fallback repartition restores the old path
+    # (same partition-not-split contract as before).
+    from dint_ray.postings import _direct_merge_exchange
+
     nparts = min(_PAIR_BUCKETS, max(16, _derived_concurrency()))
-    pairs = (exploded.map_batches(_add_pair_bucket, batch_format="pyarrow")
-             .repartition(nparts, keys=["bucket"], sort=False)
-             .map_batches(_pairs_from_rows, batch_format="pyarrow",
-                          batch_size=None, num_cpus=1))
-    return pairs
+    bucketed = exploded.map_batches(_add_pair_bucket,
+                                    batch_format="pyarrow")
+
+    def _part_of(b: pa.Table) -> np.ndarray:
+        bk = b.column("bucket").to_numpy(zero_copy_only=False)
+        return (bk.astype(np.int64) % nparts).astype(np.uint32)
+
+    return _direct_merge_exchange(bucketed, nparts, _pairs_from_rows,
+                                  _part_of, fallback_keys=("bucket",))
 
 
 class _ShingleSets:
@@ -485,7 +590,10 @@ class _ShingleSets:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        sets = [_shingle_digests(t, self.k)[0] for t in texts]
+        u, offsets = _batch_shingle_u64(texts, self.k)
+        s60 = u >> np.uint64(4)
+        sets = [np.unique(s60[offsets[i]:offsets[i + 1]])
+                for i in range(len(texts))]
         # bytes, not list<uint64>: Acero hash joins only carry
         # fixed-width/binary non-key fields
         return pa.table({
@@ -588,8 +696,9 @@ def minhash_dedup_pairs_ds(docs_ds, num_hashes=64, shingle_k=3,
     # in two branches of one fused plan
     sh = docs_side.map_batches(
         _ShingleSets, fn_constructor_kwargs={"k": shingle_k},
-        batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, concurrency), num_cpus=1).materialize()
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(max(1, min(4, concurrency // 4)), concurrency),
+        num_cpus=1).materialize()
     j1 = _attach_binary(uniq, sh, key_col="doc_a", out_col="sids_a",
                         carry=[], num_partitions=num_partitions)
     j2 = _attach_binary(j1, sh, key_col="doc_b", out_col="sids_b",

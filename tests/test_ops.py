@@ -145,6 +145,55 @@ def test_exact_dedup_digest_keys_no_text_in_exchange():
     assert kept == [0, 1, 3]
 
 
+def test_minhash_kernel_and_fold_match_modulo_reference():
+    """The C minhash kernel and the numpy Mersenne-fold fallback must
+    be bit-identical to the %-based per-doc reference (the SQL oracle
+    computes (a*x+b) % p in BIGINT)."""
+    P = np.uint64(2147483647)
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.integers(0, 1 << 32, 50_000, dtype=np.uint64),
+                        np.array([0, 1, P - 1, P, P + 1, (1 << 32) - 1],
+                                 np.uint64)])
+    a = np.concatenate([rng.integers(1, P, 16, dtype=np.uint64),
+                        np.array([1, P - 1], np.uint64)])
+    b = np.concatenate([rng.integers(0, P, 16, dtype=np.uint64),
+                        np.array([0, P - 1], np.uint64)])
+    v = x[:, None] * a[None, :] + b[None, :]
+    f = (v & P) + (v >> np.uint64(31))
+    f = (f & P) + (f >> np.uint64(31))
+    f -= P * (f >= P)
+    assert np.array_equal(v % P, f)
+
+    texts = ["the quick brown fox " * 20, "", "a",
+             "unicode ünïcödé ß " * 9, "dup dup dup dup",
+             "x y z w v u t s r q p o n m l k"]
+    ref = np.stack([dedup.minhash_signature(
+        dedup._shingle_digests(t, 3)[1], 64) for t in texts])
+    assert np.array_equal(dedup._batch_signatures(texts, 3, 64), ref)
+    # numpy fallback path (kernel forced off)
+    from dint_ray import native
+    orig = native.minhash_sigs
+    native.minhash_sigs = lambda *a_, **k_: None
+    try:
+        assert np.array_equal(dedup._batch_signatures(texts, 3, 64), ref)
+    finally:
+        native.minhash_sigs = orig
+
+
+def test_batch_shingle_u64_matches_per_doc_digests():
+    """The span-gather batched shingle hasher must reproduce the
+    per-doc join-path digests exactly (after unique of either shift)."""
+    texts = ["the quick brown fox " * 20, "", "a",
+             "unicode ünïcödé ß " * 9, "a b",
+             "hello 123 world 456 hello 123 world"]
+    u, offs = dedup._batch_shingle_u64(texts, 3)
+    for i, t in enumerate(texts):
+        s60, s32 = dedup._shingle_digests(t, 3)
+        ud = u[offs[i]:offs[i + 1]]
+        assert np.array_equal(np.unique(ud >> np.uint64(4)), s60), t
+        assert np.array_equal(np.unique(ud >> np.uint64(32)), s32), t
+
+
 def test_exact_dedup_fallback_matches_direct_exchange(monkeypatch):
     """Past the direct exchange's ref cap, exact dedup must switch to
     the real groupby aggregate (a split keyed partition would emit two
