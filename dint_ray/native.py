@@ -35,6 +35,7 @@ MAX_LISTS = 64
 _SRC = r"""
 #include <stdint.h>
 #include <stddef.h>
+#include <string.h>
 
 typedef struct {
     const uint32_t *docs;
@@ -542,18 +543,26 @@ typedef struct {
    Returns BYTES consumed. */
 static int64_t dint_decode(const uint8_t *p, int n, const CDict *d,
                            int wide, uint32_t *out) {
-    for (int i = 0; i < n; i++) out[i] = 0;
+    /* Fixed-width pattern copy (the reference's core decode trick,
+       single_dictionary.hpp: copy a full 16-int pattern, advance by its
+       size): entry copies are an unconditional 64-byte memcpy — callers
+       provide >=16 ints of slack past out[n], and dict_c_arrays pads
+       every table with 16 trailing ints so the overcopy never reads
+       past the allocation.  Positions beyond an entry's true length get
+       garbage that the NEXT codeword's own write overwrites (every
+       branch writes its full range), so no upfront zeroing is needed. */
     int produced = 0; int64_t pos = 0;
     while (produced < n) {
         uint32_t cw = wide ? (uint32_t)ld16u(p + pos) : (uint32_t)p[pos];
         pos += wide ? 2 : 1;
         if (cw >= 7) {
-            int len = d->lengths[cw];
-            const uint32_t *e = d->table + d->offs[cw];
-            for (int i = 0; i < len; i++) out[produced + i] = e[i];
-            produced += len;
+            memcpy(out + produced, d->table + d->offs[cw],
+                   16 * sizeof(uint32_t));
+            produced += d->lengths[cw];
         } else if (cw >= 2) {
-            produced += d->lengths[cw];   /* zero run, already zeroed */
+            int len = d->lengths[cw];    /* zero run: 256/128/64/32/16 */
+            memset(out + produced, 0, (size_t)len * sizeof(uint32_t));
+            produced += len;
         } else if (cw == 0) {
             out[produced++] = ld16u(p + pos);
             pos += 2;
@@ -622,7 +631,7 @@ static void cl_load_block(CList *L, int64_t b, const CCodec *dd) {
     const uint8_t *p = L->body + start;
     uint32_t bmax = ld32u(L->maxs_p + 4 * b);
     int64_t prev = b == 0 ? -1 : (int64_t)ld32u(L->maxs_p + 4 * (b - 1));
-    uint32_t gaps[256];
+    uint32_t gaps[272];            /* 16-int slack for the overcopy */
     int64_t used;
     if (size == 256) {
         used = codec_decode(p, 256, dd, gaps);
@@ -640,7 +649,7 @@ static void cl_load_block(CList *L, int64_t b, const CCodec *dd) {
 }
 
 static void cl_load_weights(CList *L, const CCodec *fd, const float *norms) {
-    uint32_t fr[256];
+    uint32_t fr[272];              /* 16-int slack for the overcopy */
     if (L->blk_size == 256) (void)codec_decode(L->fstart, 256, fd, fr);
     else (void)interp_decode(L->fstart, 0, 0, L->blk_size, fr);
     for (int i = 0; i < L->blk_size; i++) {
@@ -745,7 +754,7 @@ int64_t decode_list_compressed(
         int64_t start = b == 0 ? 0 : (int64_t)ld32u(endp_p + 4 * (b - 1));
         const uint8_t *p = body + start;
         uint32_t bmax = ld32u(maxs_p + 4 * b);
-        uint32_t gaps[256], fr[256];
+        uint32_t gaps[272], fr[272];   /* 16-int slack for the overcopy */
         int64_t used;
         if (size == 256) used = codec_decode(p, 256, &dd, gaps);
         else {
@@ -1258,14 +1267,23 @@ def _build_and_load():
         # race benignly (identical artifacts)
         fd, tmp_so = tempfile.mkstemp(dir=cache_dir, suffix=".so")
         os.close(fd)
-        subprocess.run(
-            # -ffp-contract=off: the on-the-fly BM25 weights in the
-            # compressed kernel must round exactly like numpy float32
-            # (no fused multiply-add), or scores drift from the
-            # decoded/Python paths
-            ["cc", "-O2", "-ffp-contract=off", "-shared", "-fPIC",
-             "-o", tmp_so, c_path, "-lm"],
-            check=True, capture_output=True)
+        # -ffp-contract=off: the on-the-fly BM25 weights in the
+        # compressed kernel must round exactly like numpy float32
+        # (no fused multiply-add), or scores drift from the
+        # decoded/Python paths.
+        # -O3 -march=native: compiled on each worker host at import
+        # time, so native tuning is safe; float semantics stay exact
+        # (gcc never reassociates FP without -ffast-math, and
+        # -ffp-contract=off forbids FMA) so scores remain bit-identical
+        # to the numpy float32 paths.  Retry without -march=native for
+        # toolchains that reject it.
+        base = ["cc", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                "-o", tmp_so, c_path, "-lm"]
+        try:
+            subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                           check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            subprocess.run(base, check=True, capture_output=True)
         os.replace(tmp_so, so_path)
     ffi = cffi.FFI()
     ffi.cdef(_CDEF)
@@ -1511,7 +1529,11 @@ def dict_c_arrays(d):
     lengths = np.ascontiguousarray(d.lengths, dtype=np.int32)
     offs = np.ascontiguousarray(
         (d.offsets.astype(np.int64) & 0xFFFFFF).astype(np.int32))
-    table = np.ascontiguousarray(d.table, dtype=np.uint32)
+    # 16 trailing pad ints: dint_decode copies a fixed 16-int window from
+    # every entry start, so the last entry's overcopy must stay in-bounds
+    table = np.ascontiguousarray(
+        np.concatenate([np.asarray(d.table, dtype=np.uint32),
+                        np.zeros(16, dtype=np.uint32)]))
     return lengths, offs, table
 
 
