@@ -1174,6 +1174,27 @@ def q_lsh_recall(sf_dir: str):
     })
 
 
+def q_ivf_knn(sf_dir: str):
+    from dint_ray.ops.simsearch import ivf_knn_ds
+
+    return ivf_knn_ds(_emb_ds(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
+def q_ivf_recall(sf_dir: str):
+    """Measured ANN quality: recall of the IVF-flat path (sampled
+    k-means cells, nprobe probing) against the exact scan, as integer
+    percent (rows-only check — depends on the training sample/seed,
+    not SQL-expressible)."""
+    from dint_ray.ops.simsearch import ivf_recall
+
+    r = ivf_recall(_emb_ds(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+    return pa.table({
+        "k": pa.array([KNN_K], pa.int64()),
+        "num_queries": pa.array([len(KNN_QUERY_IDS)], pa.int64()),
+        "recall_pct": pa.array([int(round(r * 100))], pa.int64()),
+    })
+
+
 def q_embedding_dups(sf_dir: str):
     from dint_ray.ops.dedup import embedding_dup_pairs_ds
 
@@ -1322,6 +1343,8 @@ def registry():
         "simhash_dedup": (q_simhash_pairs, None),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
         "knn_lsh": (q_lsh_knn, None),
+        "knn_ivf": (q_ivf_knn, None),
+        "knn_ivf_recall": (q_ivf_recall, None),
         "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
         "media_features": (q_media_features, SQL_MEDIA_FEATURES),
         "image_decode": (q_image_decode, SQL_IMAGE_DECODE),

@@ -266,6 +266,149 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                          batch_format="pyarrow", batch_size=None, num_cpus=1))
 
 
+def _train_centroids(emb_ds, num_centroids: int, seed: int,
+                     sample_size: int, iters: int) -> np.ndarray:
+    """Deterministic sampled k-means (IVF coarse quantizer training).
+
+    The sample is selected by a fixed multiplicative hash of vec_id (no
+    RNG over row order, so the same corpus always yields the same
+    centroids) and is O(sample_size x d) on the driver — a fixed-size
+    artifact independent of corpus size, like FAISS's train() sample.
+    Lloyd iterations run in numpy on the sample only."""
+    probe = np.uint64(2654435761)
+
+    def keep_sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.uint64)
+        key = (ids * probe) & np.uint64(0xFFFFFFFF)
+        m = key < np.uint64(0x7FFFFFFF)  # ~50%; thinned below if large
+        return batch.filter(pa.array(m))
+
+    rows = (emb_ds.map_batches(_strip_meta, batch_format="pyarrow")
+            .map_batches(keep_sample, batch_format="pyarrow")
+            .limit(max(sample_size, num_centroids * 4)).take_all())
+    sample = _normalize(np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in rows]))
+    rng = np.random.default_rng(seed)
+    # k-means++-lite init: spread starts over the sample
+    cent = sample[rng.choice(len(sample), size=num_centroids,
+                             replace=len(sample) < num_centroids)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(num_centroids):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_knn_ds(emb_ds, query_ids: list[int], k: int = 5,
+               num_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+               sample_size: int = 4096, iters: int = 8,
+               concurrency: int = 8, num_partitions: int = 8):
+    """IVF-flat ANN: sampled k-means centroids partition the corpus into
+    cells; each query probes only its ``nprobe`` nearest cells.
+
+    The scale path beside the LSH variant: candidate work per query is
+    ~nprobe/num_centroids of the corpus, the corpus moves through ONE
+    keyed repartition on ``cell`` (each partition holds complete cells
+    and scores only the queries probing them), and the only broadcast
+    is the (num_centroids x d) centroid matrix.  ``nprobe ==
+    num_centroids`` probes every cell and is EXACT — asserted against
+    ``knn_cosine_ds`` in tests; recall at smaller nprobe is measured by
+    ``ivf_recall``."""
+    import dint_ray
+    dint_ray.ensure_tuned()
+    import ray
+
+    nprobe = min(nprobe, num_centroids)
+    qids, qm = _query_matrix(emb_ds, query_ids)
+    cent = _train_centroids(emb_ds, num_centroids, seed, sample_size, iters)
+    # top-nprobe cells per query, (Q, nprobe)
+    qcells = np.argsort(-(qm @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    qref = ray.put((qids, qm, qcells))
+    cent_ref = ray.put(cent)
+
+    class AddCell:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("cell", pa.array([], pa.int64()))
+            _, bmat = _to_matrix(batch)
+            cell = np.argmax(_normalize(bmat) @ self.cent.T, axis=1)
+            return batch.append_column(
+                "cell", pa.array(cell.astype(np.int64), pa.int64()))
+
+    class CellScorer:
+        """Scores the partition's vectors against the queries probing
+        any cell the partition holds (cells arrive complete)."""
+
+        def __init__(self):
+            self.qids, self.qm, self.qcells = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "cell" not in batch.column_names:
+                return _empty_partial()
+            cell = batch.column("cell").to_numpy()
+            present = np.unique(cell)
+            probes_here = np.isin(self.qcells, present)  # (Q, nprobe)
+            qsel = np.flatnonzero(probes_here.any(axis=1))
+            if not len(qsel):
+                return _empty_partial()
+            bids, bmat = _to_matrix(batch)
+            bmat = _normalize(bmat)
+            out_q, out_v, out_s = [], [], []
+            for qi in qsel:
+                qid = int(self.qids[qi])
+                m = (np.isin(cell, self.qcells[qi][probes_here[qi]])
+                     & (bids != qid))
+                if not m.any():
+                    continue
+                sims = bmat[m] @ self.qm[qi]
+                vv = bids[m]
+                out_q.extend([qid] * len(vv))
+                out_v.extend(vv.tolist())
+                out_s.extend(sims.tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            })
+
+    # materialized between the two keyed repartitions (cell, then
+    # query_id) — same one-shuffle-per-execution staging as lsh_knn_ds
+    partial = (emb_ds.map_batches(_strip_meta, batch_format="pyarrow")
+               .map_batches(AddCell, batch_format="pyarrow",
+                            batch_size=1024,
+                            concurrency=(1, concurrency), num_cpus=1)
+               .repartition(num_partitions, keys=["cell"], sort=False)
+               .map_batches(CellScorer, batch_format="pyarrow",
+                            batch_size=None,
+                            concurrency=(1, concurrency), num_cpus=1)
+               .materialize())
+    nparts = min(num_partitions, max(1, len(query_ids) // 4))
+    return (partial.repartition(nparts, keys=["query_id"], sort=False)
+            .map_batches(_final_topk_block, fn_kwargs={"k": k},
+                         batch_format="pyarrow", batch_size=None, num_cpus=1))
+
+
+def ivf_recall(emb_ds, query_ids: list[int], k: int = 5,
+               num_centroids: int = 16, nprobe: int = 4,
+               seed: int = 7) -> float:
+    """Measured recall of the IVF path vs the exact scan."""
+    exact = knn_cosine_ds(emb_ds, query_ids, k=k).take_all()
+    approx = ivf_knn_ds(emb_ds, query_ids, k=k, num_centroids=num_centroids,
+                        nprobe=nprobe, seed=seed).take_all()
+    want: dict[int, set] = {}
+    for r in exact:
+        want.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    hits = sum(1 for r in approx
+               if int(r["vec_id"]) in want.get(int(r["query_id"]), set()))
+    return hits / max(1, len(query_ids) * k)
+
+
 def lsh_recall(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                seed: int = 99) -> float:
     """Measured recall of the LSH path vs the exact scan: |ANN top-k

@@ -101,6 +101,50 @@ def test_knn_cosine_exact():
         assert got == want
 
 
+def _rand_emb(n=40, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, d))
+    return mat, rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(n)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    }))
+
+
+def test_ivf_full_probe_is_exact():
+    """nprobe == num_centroids probes every cell -> identical rows to
+    the exact scan (same float64 sims, same tie-break kernel)."""
+    from dint_ray.ops.simsearch import ivf_knn_ds, knn_cosine_ds
+
+    _, emb = _rand_emb()
+    exact = sorted(map(tuple, (
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in knn_cosine_ds(emb, [0, 5, 17], k=4).take_all())))
+    full = sorted(map(tuple, (
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_knn_ds(emb, [0, 5, 17], k=4, num_centroids=4,
+                            nprobe=4).take_all())))
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall():
+    """Clustered corpus: probing the nearest cell alone recovers the
+    same-cluster neighbors (recall 1.0 on well-separated clusters)."""
+    from dint_ray.ops.simsearch import ivf_recall
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4).repeat(2, axis=1)  # 4 orthogonal cluster axes, d=8
+    mat = np.concatenate([
+        centers[i] + 0.05 * rng.standard_normal((25, 8)) for i in range(4)])
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(100)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64())),
+    }))
+    r = ivf_recall(emb, [0, 30, 60, 90], k=5, num_centroids=4, nprobe=1)
+    assert r == 1.0
+
+
 def test_media_decode_words_match_digest():
     """emit_words exposes the raw LE u32 sha256 words the float
     feature is derived from (the SQL-oracle view of media_features)."""
