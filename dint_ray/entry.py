@@ -998,6 +998,17 @@ def q_ranked_and_routed(sf_dir: str):
     return _run_routed(sf_dir, "ranked_and", "ranked_and")
 
 
+def q_ranked_or_routed(sf_dir: str):
+    return _run_routed(sf_dir, "ranked_or", "ranked_or")
+
+
+def q_block_max_wand_routed(sf_dir: str):
+    """block-max WAND over decoded bucket owners, rank-identity-checked
+    in-owner against the quantized exhaustive ranked-OR (chk protocol,
+    same as the wand/maxscore routed entries)."""
+    return _run_routed(sf_dir, "block_max_wand", "ranked_or")
+
+
 def _run_routed_compressed_float(sf_dir: str, algo: str):
     """float32 routed serving over compressed owners for the
     transient-decode algos (ranked_and / ranked_or / block_max_wand):
@@ -1030,6 +1041,10 @@ def _run_routed_compressed_float(sf_dir: str, algo: str):
 
 def q_ranked_and_routed_compressed(sf_dir: str):
     return _run_routed_compressed_float(sf_dir, "ranked_and")
+
+
+def q_ranked_or_routed_compressed(sf_dir: str):
+    return _run_routed_compressed_float(sf_dir, "ranked_or")
 
 
 def q_block_max_wand_routed_compressed(sf_dir: str):
@@ -1327,6 +1342,11 @@ def registry():
         "bm25_maxscore_routed_compressed": (q_maxscore_routed_compressed,
                                             SQL_RANKED_OR_DOCS),
         "bm25_ranked_and_routed": (q_ranked_and_routed, SQL_RANKED_AND),
+        "bm25_ranked_or_routed": (q_ranked_or_routed, SQL_RANKED_OR),
+        "bm25_ranked_or_routed_compressed": (
+            q_ranked_or_routed_compressed, SQL_RANKED_OR_DOCS),
+        "bm25_block_max_wand_routed": (q_block_max_wand_routed,
+                                       SQL_RANKED_OR),
         "bm25_ranked_and_routed_compressed": (
             q_ranked_and_routed_compressed, SQL_RANKED_AND_DOCS),
         "bm25_block_max_wand_routed_compressed": (

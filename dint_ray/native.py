@@ -1254,7 +1254,10 @@ DISABLE = os.environ.get("DINT_RAY_NO_NATIVE", "") == "1"
 def _build_and_load():
     import cffi
 
-    src_hash = hashlib.sha1(_SRC.encode()).hexdigest()[:12]
+    # flags are part of the key: a flag change with unchanged source
+    # must not reuse the previously compiled artifact
+    src_hash = hashlib.sha1(
+        (_SRC + "|O3-native-v1").encode()).hexdigest()[:12]
     cache_dir = f"/tmp/dint_ray_native/{src_hash}"
     so_path = os.path.join(cache_dir, "libdintkern.so")
     if not os.path.exists(so_path):

@@ -116,6 +116,51 @@ def _final_topk_block(batch: pa.Table, *, k: int) -> pa.Table:
     })
 
 
+def _partial_topk_block(batch: pa.Table, *, k: int) -> pa.Table:
+    """Per-block combiner: cut each query's candidate rows to its block-
+    local top-k BEFORE the keyed repartition.  Exact (top-k of a union
+    is the top-k of per-part top-ks, ties included via the same
+    (sim desc, vec_id asc) order), it bounds exchange rows to k per
+    (query, upstream block), and it keeps the final stage's one-block-
+    per-partition assumption safe at scale: post-combine partitions are
+    k x blocks x queries/nparts rows — far below the executor's block-
+    split threshold that would otherwise duplicate ranks."""
+    if batch.num_rows == 0 or "query_id" not in batch.column_names:
+        return _empty_partial()
+    q = batch.column("query_id").to_numpy().astype(np.int64)
+    v = batch.column("vec_id").to_numpy().astype(np.int64)
+    s = batch.column("sim").to_numpy()
+    order = np.lexsort((v, -s, q))
+    qs = q[order]
+    change = np.flatnonzero(np.diff(qs)) + 1
+    starts = np.concatenate(([0], change))
+    group_start = np.repeat(starts, np.diff(np.concatenate((starts,
+                                                            [len(qs)]))))
+    keep = (np.arange(len(qs)) - group_start) < k
+    sel = order[keep]
+    return pa.table({
+        "query_id": pa.array(q[sel], pa.int64()),
+        "vec_id": pa.array(v[sel], pa.int64()),
+        "sim": pa.array(s[sel], pa.float64()),
+    })
+
+
+def _finalize_topk(partial, query_ids, k: int, num_partitions: int):
+    """Shared tail of every kNN variant: per-block combine, one keyed
+    repartition on query_id, then the exact per-query top-k kernel."""
+    # each partition should own several queries, or hash gaps leave
+    # empty partitions whose schemaless blocks make the executor warn
+    nparts = min(num_partitions, max(1, len(query_ids) // 4))
+    return (partial
+            .map_batches(_partial_topk_block, fn_kwargs={"k": k},
+                         batch_format="pyarrow", batch_size=None,
+                         num_cpus=1)
+            .repartition(nparts, keys=["query_id"], sort=False)
+            .map_batches(_final_topk_block, fn_kwargs={"k": k},
+                         batch_format="pyarrow", batch_size=None,
+                         num_cpus=1))
+
+
 def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
                   concurrency: int = 8, num_partitions: int = 8):
     """Exact top-k cosine neighbors for each query vector.
@@ -166,13 +211,7 @@ def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,
                .map_batches(Scorer, batch_format="pyarrow",
                             batch_size=1024,
                             concurrency=(1, concurrency), num_cpus=1))
-    # each partition should own several queries, or hash gaps
-    # leave empty partitions whose schemaless blocks make the
-    # executor warn (cosmetic, but noisy)
-    nparts = min(num_partitions, max(1, len(query_ids) // 4))
-    return (partial.repartition(nparts, keys=["query_id"], sort=False)
-            .map_batches(_final_topk_block, fn_kwargs={"k": k},
-                         batch_format="pyarrow", batch_size=None, num_cpus=1))
+    return _finalize_topk(partial, query_ids, k, num_partitions)
 
 
 def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
@@ -257,13 +296,7 @@ def lsh_knn_ds(emb_ds, query_ids: list[int], k: int = 5, bits: int = 4,
                             batch_size=None,
                             concurrency=(1, concurrency), num_cpus=1)
                .materialize())
-    # each partition should own several queries, or hash gaps
-    # leave empty partitions whose schemaless blocks make the
-    # executor warn (cosmetic, but noisy)
-    nparts = min(num_partitions, max(1, len(query_ids) // 4))
-    return (partial.repartition(nparts, keys=["query_id"], sort=False)
-            .map_batches(_final_topk_block, fn_kwargs={"k": k},
-                         batch_format="pyarrow", batch_size=None, num_cpus=1))
+    return _finalize_topk(partial, query_ids, k, num_partitions)
 
 
 def _train_centroids(emb_ds, num_centroids: int, seed: int,
@@ -388,10 +421,7 @@ def ivf_knn_ds(emb_ds, query_ids: list[int], k: int = 5,
                             batch_size=None,
                             concurrency=(1, concurrency), num_cpus=1)
                .materialize())
-    nparts = min(num_partitions, max(1, len(query_ids) // 4))
-    return (partial.repartition(nparts, keys=["query_id"], sort=False)
-            .map_batches(_final_topk_block, fn_kwargs={"k": k},
-                         batch_format="pyarrow", batch_size=None, num_cpus=1))
+    return _finalize_topk(partial, query_ids, k, num_partitions)
 
 
 def ivf_recall(emb_ds, query_ids: list[int], k: int = 5,

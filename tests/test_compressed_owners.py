@@ -86,6 +86,8 @@ N_DOCS, VOCAB = 500, 60
 
 
 @pytest.mark.parametrize("kind,algo", [("single_packed", "maxscore"),
+                                       ("single_packed", "ranked_or"),
+                                       ("single_packed", "ranked_and"),
                                        ("multi_packed", "wand"),
                                        ("multi_packed", "maxscore")])
 def test_partition_scorer_compressed_matches_decoded(ray_session,

@@ -111,6 +111,30 @@ def _rand_emb(n=40, d=8, seed=3):
     }))
 
 
+def test_partial_topk_combiner_is_exact_under_splits():
+    """top-k( union of per-split top-ks ) == top-k(all rows) under the
+    shared (sim desc, vec_id asc) order — the invariant that lets the
+    combiner run per block before the keyed repartition (and keeps the
+    final stage safe if the executor ever splits a partition)."""
+    from dint_ray.ops.simsearch import _final_topk_block, _partial_topk_block
+
+    rng = np.random.default_rng(5)
+    n = 500
+    tbl = pa.table({
+        "query_id": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "vec_id": pa.array(rng.permutation(n).astype(np.int64), pa.int64()),
+        # duplicate sims on purpose: tie-break must carry through
+        "sim": pa.array(np.round(rng.random(n), 2), pa.float64()),
+    })
+    direct = _final_topk_block(tbl, k=4).to_pydict()
+    pieces = [tbl.slice(o, 99) for o in range(0, n, 99)]
+    combined = pa.concat_tables(
+        [_partial_topk_block(p, k=4) for p in pieces])
+    two_stage = _final_topk_block(combined.combine_chunks(),
+                                  k=4).to_pydict()
+    assert two_stage == direct
+
+
 def test_ivf_full_probe_is_exact():
     """nprobe == num_centroids probes every cell -> identical rows to
     the exact scan (same float64 sims, same tie-break kernel)."""
