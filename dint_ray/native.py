@@ -515,13 +515,17 @@ static int64_t vb_write(uint8_t *out, uint64_t v) {
 
 /* encode n gaps; out must be ZEROED and >= 10 + 5*n bytes.  have_sum:
    sum_of_values known to both sides (no varbyte header).  -1 on n too
-   large.  Byte-identical to interpolative.py encode (tests assert). */
+   large; -2 when a self-described sum overflows the u32 wire header
+   (the reference wrapper, block_codecs.hpp:117, silently WRAPS here
+   and decodes garbage — callers raise instead).  Byte-identical to
+   interpolative.py encode (tests assert). */
 int64_t interp_encode(const uint32_t *gaps, int n, uint64_t sum_known,
                       int have_sum, uint8_t *out) {
     uint64_t prefix[4096];
     uint64_t s = 0;
     if (n > 4096 || n < 1) return -1;
     for (int i = 0; i < n; i++) { s += gaps[i]; prefix[i] = s; }
+    if (!have_sum && s >= 0xFFFFFFFFULL) return -2;
     int64_t off = 0;
     uint64_t sum = have_sum ? sum_known : s;
     if (!have_sum) off = vb_write(out, sum);
@@ -1256,8 +1260,9 @@ def _build_and_load():
 
     # flags are part of the key: a flag change with unchanged source
     # must not reuse the previously compiled artifact
+    flags = os.environ.get("DINT_RAY_CFLAGS", "-O3 -march=native")
     src_hash = hashlib.sha1(
-        (_SRC + "|O3-native-v1").encode()).hexdigest()[:12]
+        (_SRC + "|" + flags).encode()).hexdigest()[:12]
     cache_dir = f"/tmp/dint_ray_native/{src_hash}"
     so_path = os.path.join(cache_dir, "libdintkern.so")
     if not os.path.exists(so_path):
@@ -1280,13 +1285,16 @@ def _build_and_load():
         # -ffp-contract=off forbids FMA) so scores remain bit-identical
         # to the numpy float32 paths.  Retry without -march=native for
         # toolchains that reject it.
-        base = ["cc", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+        opt = os.environ.get("DINT_RAY_CFLAGS", "-O3 -march=native").split()
+        base = ["cc", "-ffp-contract=off", "-shared", "-fPIC",
                 "-o", tmp_so, c_path, "-lm"]
         try:
-            subprocess.run(base[:2] + ["-march=native"] + base[2:],
+            subprocess.run(base[:1] + opt + base[1:],
                            check=True, capture_output=True)
         except subprocess.CalledProcessError:
-            subprocess.run(base, check=True, capture_output=True)
+            # toolchains that reject the tuning flags (-march=native)
+            subprocess.run(base[:1] + ["-O2"] + base[1:],
+                           check=True, capture_output=True)
         os.replace(tmp_so, so_path)
     ffi = cffi.FFI()
     ffi.cdef(_CDEF)
@@ -1406,6 +1414,14 @@ def interp_encode(gaps: np.ndarray, sum_of_values: int) -> bytes | None:
         ffi.cast("uint32_t *", gaps.ctypes.data), n,
         sum_of_values if have else 0, 1 if have else 0,
         ffi.cast("uint8_t *", out.ctypes.data))
+    if got == -2:
+        # kernel-side twin of the Python fallback's overflow guard —
+        # checked here (the prefix-sum loop already has the total) so
+        # the hot path needn't pay a separate numpy sum per block
+        raise ValueError(
+            "interpolative self-described sum exceeds the u32 wire "
+            "format (reference block_codecs.hpp:117 wraps here); pass "
+            "an explicit universe or split the block")
     if got < 0:
         return None
     return out[:got].tobytes()
