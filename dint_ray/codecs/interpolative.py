@@ -106,24 +106,26 @@ def encode(values: np.ndarray, sum_of_values: int = U32_INVALID) -> bytes:
     and the Python bit writer measured 0.89 Mints/s vs ~26 Mints/s."""
     n = len(values)
     assert n >= 1
+    from dint_ray import native
+
+    # Overflow guard for the self-described u32 varbyte sum (matching
+    # the reference wrapper, block_codecs.hpp:117-121, whose uint32
+    # sum_of_values silently WRAPS past 2^32-2 and decodes garbage):
+    # the C kernel checks inside its prefix-sum loop and raises through
+    # interp_encode, so only the pure-Python fallback pays a separate
+    # numpy sum here (the guard measured 3.4us/call, 24% of a partial-
+    # block encode, when it ran unconditionally).  Unreachable for real
+    # d-gap blocks, whose sums are bounded by the u32 docID universe.
+    enc = native.interp_encode(values, sum_of_values)
+    if enc is not None:
+        return enc
     if sum_of_values == U32_INVALID:
-        # The self-described sum is stored as a u32 varbyte (matching the
-        # reference wrapper, block_codecs.hpp:117-121, whose uint32
-        # sum_of_values silently WRAPS past 2^32-2 and decodes garbage).
-        # Fail loudly instead — the d-gap blocks this codec exists for
-        # can never reach the limit (gap sums are bounded by the u32
-        # docID universe), so hitting it means caller error.
         total = int(values.astype(np.uint64, copy=False).sum())
         if total >= U32_INVALID:
             raise ValueError(
                 f"interpolative self-described sum {total} exceeds the "
                 "u32 wire format (reference block_codecs.hpp:117 wraps "
                 "here); pass an explicit universe or split the block")
-    from dint_ray import native
-
-    enc = native.interp_encode(values, sum_of_values)
-    if enc is not None:
-        return enc
     prefix = np.cumsum(values.astype(np.uint64)).tolist()
     header = b""
     if sum_of_values == U32_INVALID:

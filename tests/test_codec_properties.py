@@ -108,6 +108,14 @@ def test_interpolative_sum_overflow_raises():
         interpolative.encode(v, U32_INVALID)
     with pytest.raises(ValueError):
         qmx.encode(v, U32_INVALID)
+    # the pure-Python fallback path (no C kernel) must guard too
+    from unittest import mock
+
+    from dint_ray import native
+
+    with mock.patch.object(native, "interp_encode", return_value=None):
+        with pytest.raises(ValueError):
+            interpolative.encode(v, U32_INVALID)
 
 
 @st.composite

@@ -110,19 +110,27 @@ def test_interpolative_c_kernel_byte_identical():
     writer on every (size, magnitude, known/unknown-sum) combination —
     it is the hot encoder for partial blocks and direct-build
     segments, so divergence would corrupt indexes silently."""
+    import pytest
+
     from dint_ray import native
     from dint_ray.config import U32_INVALID
 
     if native.get_lib()[1] is None:
-        import pytest
-
         pytest.skip("no C compiler")
     rng = np.random.default_rng(17)
     for _ in range(400):
         n = int(rng.integers(1, 257))
         mag = int(rng.choice([2, 16, 1 << 10, 1 << 20, 1 << 27]))
         g = rng.integers(0, mag, n).astype(np.uint32)
-        for sv in (U32_INVALID, int(g.sum())):
+        total = int(g.astype(np.uint64).sum())
+        for sv in (U32_INVALID, total):
+            if sv == U32_INVALID and total >= U32_INVALID:
+                # self-described sum past the u32 wire limit: the
+                # kernel must refuse (raise), never emit an oversized
+                # varbyte header the wire contract forbids
+                with pytest.raises(ValueError):
+                    native.interp_encode(g, sv)
+                continue
             py_bw = interpolative._BitWriter()
             prefix = np.cumsum(g.astype(np.uint64)).tolist()
             header = b""
