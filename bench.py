@@ -247,6 +247,17 @@ SCALING_SHARDS = 32
 # at 80k queries the fixed scatter/merge costs swamped the wide leg)
 SCALING_QUERIES = 320_000
 SCALING_DIR = "/tmp/dint_ray_scaling"
+# The dedup legs get their own, 4x-larger corpus WITH a controlled
+# duplicate population (8% exact copies + 4% near-duplicates): the
+# 500k no-duplicate build corpus finished exact dedup in 2.6 s at 24
+# CPUs — session/actor fixed costs dominated the ratio — and measured
+# only the no-match fast path (0 candidate pairs).  2M docs with real
+# duplicates keeps the timed section work-dominated at both widths and
+# makes the pair-emission + join stages (the 100-TB-critical parts)
+# part of the measurement.
+DEDUP_DOCS = 2_000_000
+DEDUP_SHARDS = 32
+DEDUP_CHUNK = 250_000
 
 
 def _scaling_fixture() -> str:
@@ -277,6 +288,39 @@ def _scaling_fixture() -> str:
     return path
 
 
+def _dedup_fixture() -> str:
+    """Deterministic 2M-doc corpus with injected exact and near
+    duplicates (fixtures.generate_dedup_pages), written chunk-by-chunk
+    so generation never holds more than 250k rows in memory.  Chunks
+    use distinct seeds but globally consistent doc_id / url / warc_ts
+    via doc_offset."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(SCALING_DIR, exist_ok=True)
+    path = os.path.join(SCALING_DIR, f"pages_dedup_{DEDUP_DOCS}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        from dint_ray.fixtures import generate_dedup_pages
+
+        os.makedirs(path, exist_ok=True)
+        files_per_chunk = DEDUP_SHARDS // (DEDUP_DOCS // DEDUP_CHUNK)
+        shard = 0
+        for off in range(0, DEDUP_DOCS, DEDUP_CHUNK):
+            t = generate_dedup_pages(DEDUP_CHUNK, vocab_size=SCALING_VOCAB,
+                                     seed=100 + off // DEDUP_CHUNK,
+                                     doc_offset=off)
+            step = (t.num_rows + files_per_chunk - 1) // files_per_chunk
+            for i in range(files_per_chunk):
+                pq.write_table(t.slice(i * step, step),
+                               os.path.join(path,
+                                            f"part-{shard:04d}.parquet"),
+                               row_group_size=4096)
+                shard += 1
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
 def _index_digest(out_dir: str) -> str:
     """Order-independent digest over shard rows (term_id, payload):
     asserts the salted and single merge strategies build the same
@@ -302,8 +346,13 @@ def _index_digest(out_dir: str) -> str:
     return hashlib.md5(b"".join(digests)).hexdigest()
 
 
-def run_scaling_inner(cpus: int) -> dict:
-    """One parallelism level: fresh build + warmed serving throughput."""
+def run_scaling_inner(cpus: int, only: str = "build,serve,dedup") -> dict:
+    """One parallelism level: fresh build + warmed serving throughput.
+
+    ``only`` selects sections ("build", "serve", "dedup") so targeted
+    runs — e.g. a build-only leg pair at narrow widths to locate the
+    single-host bandwidth ceiling — don't pay the full ~25 min."""
+    sections = frozenset(s.strip() for s in only.split(",") if s.strip())
     import time as _t
 
     import pyarrow as _pa
@@ -315,69 +364,107 @@ def run_scaling_inner(cpus: int) -> dict:
     _pa.set_cpu_count(cpus)
     _pa.set_io_thread_count(max(2, cpus // 2))
     ray.init(address="local", num_cpus=cpus, include_dashboard=False)
-    from dint_ray.fixtures import generate_queries
     from dint_ray.pipelines.build import build_index_ray
-    from dint_ray.pipelines.serve import queries_to_dataset, run_queries_ray
 
-    pages = _scaling_fixture()
-
-    # Untimed warmup build over a 2-shard slice of the corpus — the
-    # build-side analogue of the reference's untimed pass 0
-    # (queries.cpp:104-111): it spawns the leg's full Ray worker pool,
-    # imports numpy/pyarrow in every worker and compiles the native
-    # kernels once, so the timed build below measures steady-state
-    # throughput rather than process spawn (measured: the first build
-    # in a session is ~1.7x the second at 24 CPUs purely from
-    # startup).  The input files are also pre-read once so BOTH legs
-    # see the same page-cache state (a cluster's hot object store).
+    res: dict = {"num_cpus": cpus,
+                 "os_cpus_visible": len(os.sched_getaffinity(0)),
+                 "num_docs": SCALING_DOCS,
+                 "sections": sorted(sections)}
     import glob as _glob
 
-    warm_pages = os.path.join(SCALING_DIR, "pages_warmup")
-    if not os.path.exists(os.path.join(warm_pages, "_SUCCESS")):
-        os.makedirs(warm_pages, exist_ok=True)
-        for f in sorted(_glob.glob(os.path.join(pages, "*.parquet")))[:2]:
-            shutil.copy(f, warm_pages)
-        with open(os.path.join(warm_pages, "_SUCCESS"), "w") as fh:
-            fh.write("ok")
-    warm_out = os.path.join(SCALING_DIR, f"build_warm_{cpus}")
-    shutil.rmtree(warm_out, ignore_errors=True)
-    build_index_ray(warm_pages, warm_out)
-    shutil.rmtree(warm_out, ignore_errors=True)
-    for f in sorted(_glob.glob(os.path.join(pages, "*.parquet"))):
-        with open(f, "rb") as fh:
-            fh.read()
-
-    # best-of-2 timed builds (the serving legs are best-of-3 for the
-    # same reason): single passes on a shared host carry ±15% spread —
-    # run 8 recorded a 65.4 s pass at 24 CPUs where runs 5-7 measured
-    # 49.7-58.9 s on identical code/input.  Both walls are reported.
+    manifest = None
     out_dir = os.path.join(SCALING_DIR, f"build_{cpus}")
-    build_runs = []
-    for _ in range(2):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = _t.time()
-        manifest = build_index_ray(pages, out_dir)
-        build_runs.append(round(_t.time() - t0, 1))
-    build_sec = min(build_runs)
+    if sections & {"build", "serve"}:
+        pages = _scaling_fixture()
 
-    # salted two-exchange merge: the 10^12-doc skew path (head lists
-    # split into doc-range buckets).  merge_strategy="auto" only picks
-    # it above chunk_df_threshold, so force it here for a measured
-    # number at both widths and assert bit-identity with the
-    # single-exchange index (VERDICT r2 item 7).
-    from dint_ray.config import BuildConfig
+        # Untimed warmup build over a 2-shard slice of the corpus — the
+        # build-side analogue of the reference's untimed pass 0
+        # (queries.cpp:104-111): it spawns the leg's full Ray worker
+        # pool, imports numpy/pyarrow in every worker and compiles the
+        # native kernels once, so the timed build below measures
+        # steady-state throughput rather than process spawn (measured:
+        # the first build in a session is ~1.7x the second at 24 CPUs
+        # purely from startup).  The input files are also pre-read once
+        # so BOTH legs see the same page-cache state (a cluster's hot
+        # object store).
+        warm_pages = os.path.join(SCALING_DIR, "pages_warmup")
+        if not os.path.exists(os.path.join(warm_pages, "_SUCCESS")):
+            os.makedirs(warm_pages, exist_ok=True)
+            for f in sorted(_glob.glob(os.path.join(pages,
+                                                    "*.parquet")))[:2]:
+                shutil.copy(f, warm_pages)
+            with open(os.path.join(warm_pages, "_SUCCESS"), "w") as fh:
+                fh.write("ok")
+        warm_out = os.path.join(SCALING_DIR, f"build_warm_{cpus}")
+        shutil.rmtree(warm_out, ignore_errors=True)
+        build_index_ray(warm_pages, warm_out)
+        shutil.rmtree(warm_out, ignore_errors=True)
+        for f in sorted(_glob.glob(os.path.join(pages, "*.parquet"))):
+            with open(f, "rb") as fh:
+                fh.read()
 
-    out_salted = os.path.join(SCALING_DIR, f"build_salted_{cpus}")
-    salted_runs = []
-    for _ in range(2):
+    if "build" in sections:
+        # best-of-2 timed builds (the serving legs are best-of-3 for
+        # the same reason): single passes on a shared host carry ±15%
+        # spread — run 8 recorded a 65.4 s pass at 24 CPUs where runs
+        # 5-7 measured 49.7-58.9 s on identical code/input.  Both
+        # walls are reported.
+        build_runs = []
+        for _ in range(2):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = _t.time()
+            manifest = build_index_ray(pages, out_dir)
+            build_runs.append(round(_t.time() - t0, 1))
+        build_sec = min(build_runs)
+
+        # salted two-exchange merge: the 10^12-doc skew path (head
+        # lists split into doc-range buckets).  merge_strategy="auto"
+        # only picks it above chunk_df_threshold, so force it here for
+        # a measured number at both widths and assert bit-identity
+        # with the single-exchange index (VERDICT r2 item 7).
+        from dint_ray.config import BuildConfig
+
+        out_salted = os.path.join(SCALING_DIR, f"build_salted_{cpus}")
+        salted_runs = []
+        for _ in range(2):
+            shutil.rmtree(out_salted, ignore_errors=True)
+            t0 = _t.time()
+            build_index_ray(pages, out_salted,
+                            bcfg=BuildConfig(merge_strategy="salted"))
+            salted_runs.append(round(_t.time() - t0, 1))
+        salted_sec = min(salted_runs)
+        salted_match = _index_digest(out_dir) == _index_digest(out_salted)
         shutil.rmtree(out_salted, ignore_errors=True)
-        t0 = _t.time()
-        build_index_ray(pages, out_salted,
-                        bcfg=BuildConfig(merge_strategy="salted"))
-        salted_runs.append(round(_t.time() - t0, 1))
-    salted_sec = min(salted_runs)
-    salted_match = _index_digest(out_dir) == _index_digest(out_salted)
-    shutil.rmtree(out_salted, ignore_errors=True)
+        res.update({
+            "build_sec": round(build_sec, 1),
+            "build_runs_sec": build_runs,
+            "build_docs_per_sec": round(SCALING_DOCS / build_sec, 1),
+            "build_salted_sec": round(salted_sec, 1),
+            "build_salted_runs_sec": salted_runs,
+            "build_salted_docs_per_sec": round(SCALING_DOCS / salted_sec, 1),
+            "salted_digest_match": salted_match,
+            "stage_secs": manifest.get("stage_secs", {}),
+        })
+    elif "serve" in sections:
+        # serve-only leg still needs an index; one untimed build
+        shutil.rmtree(out_dir, ignore_errors=True)
+        manifest = build_index_ray(pages, out_dir)
+
+    if "serve" in sections:
+        res.update(_serve_section(cpus, out_dir, manifest))
+    if "dedup" in sections:
+        res.update(_dedup_section(cpus))
+    ray.shutdown()
+    return res
+
+
+def _serve_section(cpus: int, out_dir: str, manifest: dict) -> dict:
+    import time as _t
+
+    import ray
+
+    from dint_ray.fixtures import generate_queries
+    from dint_ray.pipelines.serve import queries_to_dataset, run_queries_ray
 
     qlog = generate_queries(SCALING_QUERIES, manifest["num_terms"])
     qds = queries_to_dataset(qlog)
@@ -446,24 +533,53 @@ def run_scaling_inner(cpus: int) -> dict:
         runs_all["ranked_or_fast"].append(
             round(SCALING_QUERIES / (_t.time() - t0), 1))
     serve["ranked_or_fast"] = max(runs_all["ranked_or_fast"])
-    # LLM-ops legs: MinHash-LSH near-dup and digest-keyed exact dedup
-    # over the same 500k-page corpus — the dedup path is first-class at
-    # 100 TB, so it gets a scaling number alongside build/serve.
-    # Release serving state first: idle bucket owners reserve 0.25 CPU
-    # each and the broadcast image pins plasma memory — a dedup job is
-    # its own cluster occupant, so measure it on a clean session.
-    from dint_ray.pipelines import serve as _serve
+    # Release serving state before whatever runs next: idle bucket
+    # owners reserve 0.25 CPU each and the broadcast image pins plasma
+    # memory — a dedup job is its own cluster occupant, so it must
+    # measure on a clean session.
+    from dint_ray.pipelines import serve as _serve_mod
     from dint_ray.pipelines.partitioned import release_all_actors
 
     release_all_actors()
-    _serve._REF_CACHE.clear()
+    _serve_mod._REF_CACHE.clear()
     import gc as _gc
 
     _gc.collect()
+    return {
+        "wand_queries_per_sec": serve["wand"],
+        "wand_compressed_queries_per_sec": serve["wand_compressed"],
+        "fast_queries_per_sec": serve["ranked_or_fast"],
+        "serve_runs": runs_all,
+        "owner_utilization": owner_util,
+        "loadavg_before_runs": loadavg,
+    }
+
+
+def _dedup_section(cpus: int) -> dict:
+    """LLM-ops legs: MinHash-LSH near-dup and digest-keyed exact dedup
+    over the dedicated 2M-doc corpus with an injected 8%-exact + 4%-near
+    duplicate population — the dedup path is first-class at 100 TB, so
+    it gets a scaling number alongside build/serve, and it must measure
+    real pair-emission/join work, not the 0-candidate fast path the
+    duplicate-free build corpus exercises (run <=15 legs did exactly
+    that: exact dedup finished in 2.6 s at 24 CPUs, fixed costs
+    dominated, efficiency read 0.42)."""
+    import glob as _glob
+    import time as _t
+
     import ray.data as _rd
+
+    pages = _dedup_fixture()
+    # same page-cache state at both widths (a cluster's hot object
+    # store); generation itself happens once in the parent process
+    for f in sorted(_glob.glob(os.path.join(pages, "*.parquet"))):
+        with open(f, "rb") as fh:
+            fh.read()
 
     from dint_ray.ops.dedup import exact_dedup_ds, minhash_dedup_pairs_ds
 
+    # best-of-2: the first pass also absorbs Ray worker spawn when the
+    # dedup section runs alone in a fresh session
     minhash_runs, exact_runs = [], []
     for _ in range(2):
         t0 = _t.time()
@@ -475,31 +591,14 @@ def run_scaling_inner(cpus: int) -> dict:
         exact_runs.append(round(_t.time() - t0, 1))
     minhash_sec = min(minhash_runs)
     exact_sec = min(exact_runs)
-    ray.shutdown()
     return {
-        "num_cpus": cpus,
-        "os_cpus_visible": len(os.sched_getaffinity(0)),
-        "num_docs": SCALING_DOCS,
-        "build_sec": round(build_sec, 1),
-        "build_runs_sec": build_runs,
-        "build_docs_per_sec": round(SCALING_DOCS / build_sec, 1),
-        "build_salted_sec": round(salted_sec, 1),
-        "build_salted_runs_sec": salted_runs,
-        "build_salted_docs_per_sec": round(SCALING_DOCS / salted_sec, 1),
-        "salted_digest_match": salted_match,
-        "wand_queries_per_sec": serve["wand"],
-        "wand_compressed_queries_per_sec": serve["wand_compressed"],
-        "fast_queries_per_sec": serve["ranked_or_fast"],
-        "minhash_docs_per_sec": round(SCALING_DOCS / minhash_sec, 1),
+        "dedup_num_docs": DEDUP_DOCS,
+        "minhash_docs_per_sec": round(DEDUP_DOCS / minhash_sec, 1),
         "minhash_runs_sec": minhash_runs,
         "minhash_pairs": minhash_pairs,
-        "exact_dedup_docs_per_sec": round(SCALING_DOCS / exact_sec, 1),
+        "exact_dedup_docs_per_sec": round(DEDUP_DOCS / exact_sec, 1),
         "exact_dedup_runs_sec": exact_runs,
         "exact_dedup_kept": exact_kept,
-        "serve_runs": runs_all,
-        "owner_utilization": owner_util,
-        "loadavg_before_runs": loadavg,
-        "stage_secs": manifest.get("stage_secs", {}),
     }
 
 
@@ -514,7 +613,8 @@ def run_scaling_inner(cpus: int) -> dict:
 SCALING_LEGS = (6, 24)
 
 
-def run_scaling() -> dict:
+def run_scaling(legs: tuple[int, int] = SCALING_LEGS,
+                only: str = "build,serve,dedup") -> dict:
     """Same job at two parallelism levels in fresh processes (the
     sandbox stand-in for N- vs 4N-node clusters, BASELINE.md).
 
@@ -526,15 +626,21 @@ def run_scaling() -> dict:
     32 physical cores — inflating the small-"cluster" throughput and
     understating efficiency.  A real 6-core node has 6 cores for
     everything; affinity is the faithful stand-in."""
-    _scaling_fixture()
-    lo, hi = SCALING_LEGS
+    sections = frozenset(s.strip() for s in only.split(",") if s.strip())
+    # fixtures are generated once here, unpinned, so neither leg pays
+    # (or is skewed by) one-time corpus generation
+    if sections & {"build", "serve"}:
+        _scaling_fixture()
+    if "dedup" in sections:
+        _dedup_fixture()
+    lo, hi = legs
     results = {}
-    for cpus in SCALING_LEGS:
+    for cpus in (lo, hi):
         out = subprocess.run(
             ["taskset", "-c", f"0-{cpus - 1}",
              sys.executable, os.path.abspath(__file__), "--scale-inner",
-             str(cpus)],
-            env=dict(os.environ), capture_output=True, text=True, timeout=5400)
+             str(cpus), "--only", only],
+            env=dict(os.environ), capture_output=True, text=True, timeout=7200)
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if out.returncode != 0 or not lines:
             sys.stderr.write(out.stderr[-4000:])
@@ -547,38 +653,55 @@ def run_scaling() -> dict:
     def eff(key):
         return round((rhi[key] / rlo[key]) / (hi / lo), 3)
 
-    return {
+    res = {
         "metric": f"scaling efficiency {lo}->{hi} cpus "
                   "(throughput ratio / cpu ratio)",
-        "value": eff("wand_queries_per_sec"),
         "unit": "efficiency",
         "corpus": f"{SCALING_DOCS} synthetic web pages, vocab {SCALING_VOCAB}",
-        "build_docs_per_sec": {str(lo): rlo["build_docs_per_sec"],
-                               str(hi): rhi["build_docs_per_sec"]},
-        "wand_queries_per_sec": {str(lo): rlo["wand_queries_per_sec"],
-                                 str(hi): rhi["wand_queries_per_sec"]},
-        "wand_compressed_queries_per_sec": {
-            str(lo): rlo["wand_compressed_queries_per_sec"],
-            str(hi): rhi["wand_compressed_queries_per_sec"]},
-        "fast_queries_per_sec": {str(lo): rlo["fast_queries_per_sec"],
-                                 str(hi): rhi["fast_queries_per_sec"]},
-        "build_efficiency": eff("build_docs_per_sec"),
-        "build_salted_efficiency": eff("build_salted_docs_per_sec"),
-        "minhash_docs_per_sec": {str(lo): rlo["minhash_docs_per_sec"],
-                                 str(hi): rhi["minhash_docs_per_sec"]},
-        "minhash_dedup_efficiency": eff("minhash_docs_per_sec"),
-        "exact_dedup_docs_per_sec": {
-            str(lo): rlo["exact_dedup_docs_per_sec"],
-            str(hi): rhi["exact_dedup_docs_per_sec"]},
-        "exact_dedup_efficiency": eff("exact_dedup_docs_per_sec"),
-        "salted_digest_match": (rlo["salted_digest_match"]
-                                and rhi["salted_digest_match"]),
-        "wand_serve_efficiency": eff("wand_queries_per_sec"),
-        "wand_compressed_serve_efficiency":
-            eff("wand_compressed_queries_per_sec"),
-        "fast_serve_efficiency": eff("fast_queries_per_sec"),
-        "runs": {str(lo): rlo, str(hi): rhi},
+        "sections": sorted(sections),
     }
+    if "build" in sections:
+        res.update({
+            "build_docs_per_sec": {str(lo): rlo["build_docs_per_sec"],
+                                   str(hi): rhi["build_docs_per_sec"]},
+            "build_efficiency": eff("build_docs_per_sec"),
+            "build_salted_efficiency": eff("build_salted_docs_per_sec"),
+            "salted_digest_match": (rlo["salted_digest_match"]
+                                    and rhi["salted_digest_match"]),
+        })
+    if "serve" in sections:
+        res.update({
+            "wand_queries_per_sec": {str(lo): rlo["wand_queries_per_sec"],
+                                     str(hi): rhi["wand_queries_per_sec"]},
+            "wand_compressed_queries_per_sec": {
+                str(lo): rlo["wand_compressed_queries_per_sec"],
+                str(hi): rhi["wand_compressed_queries_per_sec"]},
+            "fast_queries_per_sec": {str(lo): rlo["fast_queries_per_sec"],
+                                     str(hi): rhi["fast_queries_per_sec"]},
+            "wand_serve_efficiency": eff("wand_queries_per_sec"),
+            "wand_compressed_serve_efficiency":
+                eff("wand_compressed_queries_per_sec"),
+            "fast_serve_efficiency": eff("fast_queries_per_sec"),
+        })
+    if "dedup" in sections:
+        res.update({
+            "dedup_corpus": f"{DEDUP_DOCS} pages, 8% exact + 4% near dups",
+            "minhash_docs_per_sec": {str(lo): rlo["minhash_docs_per_sec"],
+                                     str(hi): rhi["minhash_docs_per_sec"]},
+            "minhash_dedup_efficiency": eff("minhash_docs_per_sec"),
+            "exact_dedup_docs_per_sec": {
+                str(lo): rlo["exact_dedup_docs_per_sec"],
+                str(hi): rhi["exact_dedup_docs_per_sec"]},
+            "exact_dedup_efficiency": eff("exact_dedup_docs_per_sec"),
+        })
+    # headline value: serving if measured, else build, else dedup
+    for key in ("wand_serve_efficiency", "build_efficiency",
+                "minhash_dedup_efficiency"):
+        if key in res:
+            res["value"] = res[key]
+            break
+    res["runs"] = {str(lo): rlo, str(hi): rhi}
+    return res
 
 
 def main() -> None:
@@ -586,13 +709,17 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--inner", action="store_true")
     ap.add_argument("--scale-inner", type=int, default=0)
+    ap.add_argument("--legs", type=int, nargs=2, default=list(SCALING_LEGS),
+                    help="lo hi CPU counts for --scaling")
+    ap.add_argument("--only", type=str, default="build,serve,dedup",
+                    help="comma-set of sections: build,serve,dedup")
     args = ap.parse_args()
 
     if args.scaling:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(tuple(args.legs), args.only)))
         return
     if args.scale_inner:
-        print(json.dumps(run_scaling_inner(args.scale_inner)))
+        print(json.dumps(run_scaling_inner(args.scale_inner, args.only)))
         return
 
     import ray
