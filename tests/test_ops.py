@@ -403,3 +403,52 @@ def test_batch_signatures_chunking():
         want = dedup.minhash_signature(
             dedup._shingle_digests(texts[i], 3)[1], wide)
         np.testing.assert_array_equal(a[i], want)
+
+
+def test_dedup_fixture_contract():
+    """generate_dedup_pages: chunked generation with doc_offset forms
+    one coherent corpus (unique urls/doc_ids), carries the promised
+    exact-duplicate population, and the near-duplicates land in the
+    MinHash-candidate Jaccard band (the bench's dedup scaling legs
+    depend on all three — a duplicate-free corpus only measures the
+    no-match fast path)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from dint_ray.fixtures import generate_dedup_pages
+
+    chunks = [generate_dedup_pages(1000, vocab_size=400, seed=s,
+                                   doc_offset=off)
+              for s, off in ((1, 0), (2, 1000))]
+    t = pa.concat_tables(chunks)
+    assert t.num_rows == 2000
+    doc_ids = t.column("doc_id").to_pylist()
+    urls = t.column("url").to_pylist()
+    assert len(set(doc_ids)) == 2000 and len(set(urls)) == 2000
+
+    texts = t.column("text").to_pylist()
+    extra_exact = sum(v - 1 for v in Counter(texts).values() if v > 1)
+    # 8% per chunk, exact by construction (sources precede victims)
+    assert extra_exact == 2 * int(1000 * 0.08)
+
+    # near-dups: ~2% token substitution => shingle Jaccard well above
+    # the 0.5-0.7 thresholds the LSH band specs target
+    def shingles(s, n=3):
+        toks = s.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    # recover near-pairs by brute force on one chunk: pairs with
+    # 0.5 < J < 1 exist and number at least near_frac/2 of the chunk
+    sh = [shingles(x) for x in chunks[0].column("text").to_pylist()]
+    near = 0
+    for i in range(500, 1000):          # victims live in the tail half
+        for j in range(0, 500):
+            inter = len(sh[i] & sh[j])
+            if not inter:
+                continue
+            jac = inter / len(sh[i] | sh[j])
+            if 0.5 < jac < 1.0:
+                near += 1
+                break
+    assert near >= int(1000 * 0.04) * 0.8
