@@ -336,8 +336,9 @@ FROM px
 GROUP BY media_id, nf
 """
 
-SQL_NGRAM_JACCARD = f"""
-WITH toks AS (
+# n-gram Jaccard pair CTEs, shared by the pair entry and the
+# components/keep entries built on top of the same pair set
+_NGRAM_PAIR_CTES = f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tl FROM documents
 ),
 sh AS (
@@ -351,12 +352,51 @@ inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
   FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b
-FROM inter
-JOIN card ca ON ca.doc_id = da
-JOIN card cb ON cb.doc_id = db
-WHERE i::DOUBLE / (ca.c + cb.c - i) >= {JACCARD_THRESHOLD}
+),
+njpairs AS (
+  SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b
+  FROM inter
+  JOIN card ca ON ca.doc_id = da
+  JOIN card cb ON cb.doc_id = db
+  WHERE i::DOUBLE / (ca.c + cb.c - i) >= {JACCARD_THRESHOLD}
+)"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_NGRAM_PAIR_CTES}
+SELECT doc_a, doc_b FROM njpairs
+"""
+
+# transitive closure of the undirected pair graph (set-semantics
+# recursive CTE terminates on cycles); component = min reachable id —
+# the oracle for the distributed min-label-propagation in
+# ops/components.py
+_COMPONENT_CTES = f"""{_NGRAM_PAIR_CTES},
+ccedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM njpairs
+  UNION
+  SELECT doc_b, doc_a FROM njpairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM ccedges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN ccedges e ON r.dst = e.a
+),
+cclabels AS (
+  SELECT src::BIGINT AS doc_id,
+         least(src, min(dst))::BIGINT AS component
+  FROM reach GROUP BY src
+)"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT doc_id, component FROM cclabels
+"""
+
+SQL_NEAR_DEDUP_KEEP = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT d.doc_id::BIGINT AS doc_id FROM documents d
+WHERE d.doc_id NOT IN
+      (SELECT doc_id FROM cclabels WHERE component < doc_id)
 """
 
 def _mh_params_sql() -> str:
@@ -1138,6 +1178,30 @@ def q_ngram_jaccard(sf_dir: str):
                                   threshold=JACCARD_THRESHOLD)
 
 
+def _ngram_pairs(sf_dir: str):
+    from dint_ray.ops.dedup import ngram_jaccard_pairs_ds
+
+    return ngram_jaccard_pairs_ds(_docs_ds(sf_dir), k=JACCARD_K,
+                                  threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_components(sf_dir: str):
+    """Connected components of the n-gram-Jaccard pair graph —
+    component = min reachable doc_id (delta min-label propagation over
+    resident hash partitions, ops/components.py)."""
+    from dint_ray.ops.components import connected_components_ds
+
+    return connected_components_ds(_ngram_pairs(sf_dir))
+
+
+def q_near_dedup_keep(sf_dir: str):
+    """Canonical-keep dedup over near-dup components: every unpaired
+    doc plus the min doc_id of each component."""
+    from dint_ray.ops.components import near_dedup_keep_ds
+
+    return near_dedup_keep_ds(_docs_ds(sf_dir), _ngram_pairs(sf_dir))
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified via
     distributed joins (no corpus broadcast).  The full pipeline —
@@ -1359,6 +1423,8 @@ def registry():
         "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
         "ngram_jaccard_dedup": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+        "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP),
         "minhash_lsh_dedup": (q_minhash_pairs, SQL_MINHASH_VERIFIED),
         "simhash_dedup": (q_simhash_pairs, None),
         "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
