@@ -591,6 +591,21 @@ def _dedup_section(cpus: int) -> dict:
         exact_runs.append(round(_t.time() - t0, 1))
     minhash_sec = min(minhash_runs)
     exact_sec = min(exact_runs)
+    # components leg: cluster the verified near-dup pairs — the step
+    # after pair emission in a real dedup pipeline (pairs alone
+    # under-delete A~B~C chains).  Pairs are materialized UNTIMED so
+    # the timed section is only the min-label-propagation fixpoint.
+    from dint_ray.ops.components import connected_components_ds
+
+    pairs_mat = minhash_dedup_pairs_ds(
+        _rd.read_parquet(pages)).materialize()
+    n_pairs = pairs_mat.count()
+    cc_runs = []
+    for _ in range(2):
+        t0 = _t.time()
+        n_labels = connected_components_ds(pairs_mat).count()
+        cc_runs.append(round(_t.time() - t0, 1))
+    cc_sec = min(cc_runs)
     return {
         "dedup_num_docs": DEDUP_DOCS,
         "minhash_docs_per_sec": round(DEDUP_DOCS / minhash_sec, 1),
@@ -599,6 +614,10 @@ def _dedup_section(cpus: int) -> dict:
         "exact_dedup_docs_per_sec": round(DEDUP_DOCS / exact_sec, 1),
         "exact_dedup_runs_sec": exact_runs,
         "exact_dedup_kept": exact_kept,
+        "components_pairs": n_pairs,
+        "components_labels": n_labels,
+        "components_runs_sec": cc_runs,
+        "components_pairs_per_sec": round(n_pairs / max(cc_sec, 1e-9), 1),
     }
 
 
@@ -694,6 +713,13 @@ def run_scaling(legs: tuple[int, int] = SCALING_LEGS,
                 str(hi): rhi["exact_dedup_docs_per_sec"]},
             "exact_dedup_efficiency": eff("exact_dedup_docs_per_sec"),
         })
+        if "components_pairs_per_sec" in rlo:
+            res.update({
+                "components_pairs_per_sec": {
+                    str(lo): rlo["components_pairs_per_sec"],
+                    str(hi): rhi["components_pairs_per_sec"]},
+                "components_efficiency": eff("components_pairs_per_sec"),
+            })
     # headline value: serving if measured, else build, else dedup
     for key in ("wand_serve_efficiency", "build_efficiency",
                 "minhash_dedup_efficiency"):
