@@ -370,6 +370,19 @@ def run_scaling_inner(cpus: int, only: str = "build,serve,dedup") -> dict:
                  "os_cpus_visible": len(os.sched_getaffinity(0)),
                  "num_docs": SCALING_DOCS,
                  "sections": sorted(sections)}
+    # untimed host-ceiling probe (scripts/host_probe.py): aggregate
+    # memory-copy bandwidth + L1-resident multiply rate at this leg's
+    # process count.  The wide/narrow ratio of mem_bw_gbps is the
+    # host's own scaling ceiling for bandwidth-bound stages — it turns
+    # the "build efficiency < 1 is the shared-DRAM ceiling, not the
+    # engine" attribution in BASELINE.md into a measured number.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from host_probe import host_probe as _host_probe
+        res["host_probe"] = _host_probe(cpus)
+    except Exception as exc:  # probe is diagnostics, never fail a leg
+        res["host_probe"] = {"error": repr(exc)}
     import glob as _glob
 
     manifest = None

@@ -737,12 +737,19 @@ def _attach_binary(pairs_ds, sh_ds, *, key_col: str, out_col: str,
     """Distributed hash join: attach sh_ds's binary ``sids`` to each
     pair row where ``pairs.key_col == sh.doc_id`` (inner).
 
-    Shape: tag both sides into one schema, union, hash-repartition by
-    key (all rows of one key land in one partition), then a vectorized
-    per-partition kernel builds the key->sids lookup from the corpus
-    rows and answers the pair rows — no driver state, no broadcast.
-    This replaces ray.data's join operator, whose nested aggregator
-    pools can starve under small CPU budgets."""
+    Shape: tag both sides into one schema, union, then a DIRECT keyed
+    exchange (postings._direct_merge_exchange: one merge task per
+    partition filters its rows from all block refs — a partition's
+    rows are complete per task BY CONSTRUCTION, so the per-partition
+    kernel's key->sids lookup never misses a corpus row however the
+    executor chunks blocks); the kernel answers the pair rows with no
+    driver state and no broadcast.  This replaces ray.data's join
+    operator, whose nested aggregator pools can starve under small CPU
+    budgets, and the earlier keyed repartition, whose one-block-per-
+    partition guarantee is a current-Ray implementation detail (TODO
+    in hash_shuffle.py says blocks will split).  Past the direct
+    exchange's ref cap it falls back to a groupby().map_groups over
+    the partition id — complete groups by Ray's contract."""
     e_bin = b""
 
     def tag_pairs(b: pa.Table) -> pa.Table:
@@ -773,8 +780,7 @@ def _attach_binary(pairs_ds, sh_ds, *, key_col: str, out_col: str,
         return pa.table(cols)
 
     u = (pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
-         .union(sh_ds.map_batches(tag_corpus, batch_format="pyarrow"))
-         .repartition(num_partitions, keys=["key"], sort=False))
+         .union(sh_ds.map_batches(tag_corpus, batch_format="pyarrow")))
 
     def attach(batch: pa.Table) -> pa.Table:
         out_cols = ["doc_a", "doc_b", *carry, out_col]
@@ -801,8 +807,17 @@ def _attach_binary(pairs_ds, sh_ds, *, key_col: str, out_col: str,
         arrays[out_col] = pa.array(vals, pa.binary())
         return pa.table(arrays)
 
-    return u.map_batches(attach, batch_format="pyarrow", batch_size=None,
-                         num_cpus=1)
+    from dint_ray.postings import (_direct_merge_exchange,
+                                   _grouped_part_fallback)
+
+    def _part_of(b: pa.Table) -> np.ndarray:
+        k = b.column("key").to_numpy().astype(np.uint64)
+        return ((k * np.uint64(0x9E3779B1))
+                % np.uint64(num_partitions)).astype(np.uint32)
+
+    return _direct_merge_exchange(
+        u, num_partitions, attach, _part_of,
+        fallback=_grouped_part_fallback(attach, _part_of))
 
 
 # --------------------------------------------------------------------------

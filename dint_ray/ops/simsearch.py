@@ -146,19 +146,39 @@ def _partial_topk_block(batch: pa.Table, *, k: int) -> pa.Table:
 
 
 def _finalize_topk(partial, query_ids, k: int, num_partitions: int):
-    """Shared tail of every kNN variant: per-block combine, one keyed
-    repartition on query_id, then the exact per-query top-k kernel."""
+    """Shared tail of every kNN variant: per-block combine, one DIRECT
+    keyed exchange on query_id, then the exact per-query top-k kernel.
+
+    The final kernel ranks 1..k per query, so it needs ALL of a query's
+    partial rows in one call — the direct exchange guarantees that by
+    construction (one merge task per partition filters its rows from
+    every block ref), where the earlier keyed repartition leaned on the
+    hash-shuffle aggregator's one-block-per-partition behavior (a
+    current-Ray detail its source TODOs away); a split partition there
+    would emit duplicate ranks.  Past the ref cap it falls back to a
+    groupby().map_groups over the partition id (complete groups by
+    Ray's contract)."""
     # each partition should own several queries, or hash gaps leave
     # empty partitions whose schemaless blocks make the executor warn
     nparts = min(num_partitions, max(1, len(query_ids) // 4))
-    return (partial
-            .map_batches(_partial_topk_block, fn_kwargs={"k": k},
-                         batch_format="pyarrow", batch_size=None,
-                         num_cpus=1)
-            .repartition(nparts, keys=["query_id"], sort=False)
-            .map_batches(_final_topk_block, fn_kwargs={"k": k},
-                         batch_format="pyarrow", batch_size=None,
-                         num_cpus=1))
+    combined = partial.map_batches(_partial_topk_block, fn_kwargs={"k": k},
+                                   batch_format="pyarrow", batch_size=None,
+                                   num_cpus=1)
+
+    def _part_of(b: pa.Table) -> np.ndarray:
+        q = b.column("query_id").to_numpy().astype(np.uint64)
+        return ((q * np.uint64(0x9E3779B1))
+                % np.uint64(nparts)).astype(np.uint32)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return _final_topk_block(t, k=k)
+
+    from dint_ray.postings import (_direct_merge_exchange,
+                                   _grouped_part_fallback)
+
+    return _direct_merge_exchange(
+        combined, nparts, _final, _part_of,
+        fallback=_grouped_part_fallback(_final, _part_of))
 
 
 def knn_cosine_ds(emb_ds, query_ids: list[int], k: int = 5,

@@ -789,6 +789,38 @@ def build_posting_lists_joined(rows_ds, vocab_ds,
 _DIRECT_EXCHANGE_MAX_REFS = 4_000_000
 
 
+def _grouped_part_fallback(merge_fn, part_of):
+    """Split-safe `fallback` for ``_direct_merge_exchange``: re-tag each
+    row with its partition id and hand ``merge_fn`` COMPLETE partitions
+    via ``groupby().map_groups`` — Ray's group contract assembles whole
+    groups however the exchange chunks its output blocks.  Needed for
+    merge kernels that build a lookup from co-partitioned rows (the
+    dedup attach joins, the kNN rank finalizer): the hash-shuffle
+    aggregator today emits ONE block per partition (its source carries
+    a "break down blocks to target size" TODO), so a bare keyed
+    repartition + per-batch kernel works — until that TODO lands, at
+    which point split partitions silently drop join rows / duplicate
+    ranks.  Costs the hash-aggregate machinery the direct exchange
+    avoids; acceptable on the >_DIRECT_EXCHANGE_MAX_REFS escape path."""
+
+    def run(ds):
+        def _tag(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b.append_column("__part", pa.array([], pa.uint32()))
+            return b.append_column("__part",
+                                   pa.array(part_of(b), pa.uint32()))
+
+        def _merge(t: pa.Table) -> pa.Table:
+            return merge_fn(t.drop_columns(["__part"]))
+
+        return (ds.map_batches(_tag, batch_format="pyarrow",
+                               batch_size=None, num_cpus=1)
+                .groupby("__part")
+                .map_groups(_merge, batch_format="pyarrow", num_cpus=1))
+
+    return run
+
+
 def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
                            fallback_keys=("term_id",), fallback=None):
     """Keyed exchange as DIRECT ray tasks instead of a hash
