@@ -467,6 +467,8 @@ def run_scaling_inner(cpus: int, only: str = "build,serve,dedup") -> dict:
         res.update(_serve_section(cpus, out_dir, manifest))
     if "dedup" in sections:
         res.update(_dedup_section(cpus))
+    if "components" in sections:
+        res.update(_components_section(cpus))
     ray.shutdown()
     return res
 
@@ -634,6 +636,71 @@ def _dedup_section(cpus: int) -> dict:
     }
 
 
+# synthetic component-graph leg: the realistic dedup corpus yields only
+# ~269k pairs, whose fixpoint converges in ~0.3 s at EITHER width —
+# entirely inside Ray's scheduling floor, so its "efficiency" measures
+# nothing (run 17 printed 0.25 on identical 0.3 s walls).  This graph is
+# sized so each propagation round does real vectorized work: random
+# recursive trees of CC_COMP_SIZE nodes (the shape of a duplicate
+# cluster), CC_EDGES edges total, built deterministically from the edge
+# index alone so both legs see the identical graph.
+CC_EDGES = int(os.environ.get("DINT_CC_EDGES", 8_000_000))
+CC_COMP_SIZE = 32
+
+
+def _cc_synth_edges():
+    """Deterministic random-tree pair graph as a Dataset (untimed
+    setup for the components scaling leg)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    per_comp = CC_COMP_SIZE - 1  # edges per component (a tree)
+    # whole components only: a trailing partial tree would label a
+    # fragment of a component and break the exact label-count check
+    n_edges = (CC_EDGES // per_comp) * per_comp
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def gen(batch) -> "pa.Table":
+        j = batch["id"].to_numpy().astype(np.uint64)
+        comp = (j // per_comp).astype(np.int64)
+        slot = (j % per_comp).astype(np.int64) + 1  # node 1..31
+        h = ((j * mult) >> np.uint64(33)).astype(np.int64)
+        parent = h % slot  # uniform in [0, slot) -> random recursive tree
+        base = comp * CC_COMP_SIZE
+        return pa.table({"doc_a": base + slot, "doc_b": base + parent})
+
+    return rd.range(n_edges).map_batches(gen, batch_format="pyarrow",
+                                         num_cpus=1)
+
+
+def _components_section(cpus: int) -> dict:
+    """Scaling leg for the connected-components fixpoint itself: edges
+    materialized untimed, min-label propagation timed best-of-2."""
+    import time as _t
+
+    from dint_ray.ops.components import connected_components_ds
+
+    pairs = _cc_synth_edges().materialize()
+    n_pairs = pairs.count()
+    n_comps = CC_EDGES // (CC_COMP_SIZE - 1)
+    runs, n_labels = [], 0
+    for _ in range(2):
+        t0 = _t.time()
+        n_labels = connected_components_ds(pairs).count()
+        runs.append(round(_t.time() - t0, 1))
+    sec = min(runs)
+    assert n_labels == n_comps * CC_COMP_SIZE, \
+        f"expected {n_comps * CC_COMP_SIZE} labeled nodes, got {n_labels}"
+    return {
+        "cc_synth_edges": n_pairs,
+        "cc_synth_components": n_comps,
+        "cc_synth_labels": n_labels,
+        "cc_synth_runs_sec": runs,
+        "cc_synth_pairs_per_sec": round(n_pairs / max(sec, 1e-9), 1),
+    }
+
+
 # N and 4N parallelism levels.  6/24 rather than 8/32 so the wide leg
 # leaves headroom for whatever else runs on the shared sandbox host
 # (harness processes, occasional background load — loadavg is recorded
@@ -733,6 +800,14 @@ def run_scaling(legs: tuple[int, int] = SCALING_LEGS,
                     str(hi): rhi["components_pairs_per_sec"]},
                 "components_efficiency": eff("components_pairs_per_sec"),
             })
+    if "components" in sections:
+        res.update({
+            "cc_synth_edges": rhi["cc_synth_edges"],
+            "cc_synth_pairs_per_sec": {
+                str(lo): rlo["cc_synth_pairs_per_sec"],
+                str(hi): rhi["cc_synth_pairs_per_sec"]},
+            "cc_synth_efficiency": eff("cc_synth_pairs_per_sec"),
+        })
     # headline value: serving if measured, else build, else dedup
     for key in ("wand_serve_efficiency", "build_efficiency",
                 "minhash_dedup_efficiency"):
@@ -751,7 +826,9 @@ def main() -> None:
     ap.add_argument("--legs", type=int, nargs=2, default=list(SCALING_LEGS),
                     help="lo hi CPU counts for --scaling")
     ap.add_argument("--only", type=str, default="build,serve,dedup",
-                    help="comma-set of sections: build,serve,dedup")
+                    help="comma-set of sections: build,serve,dedup,"
+                         "components (components = synthetic 8M-edge "
+                         "graph, opt-in: it measures the fixpoint alone)")
     args = ap.parse_args()
 
     if args.scaling:
