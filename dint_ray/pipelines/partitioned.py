@@ -199,9 +199,9 @@ def _segment_rows_block(batch: pa.Table, *, width: int) -> pa.Table:
             "docs": pa.array([], pa.list_(pa.uint32())),
             "freqs": pa.array([], pa.list_(pa.uint32())),
         })
-    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    term = batch.column("term_id").to_numpy(zero_copy_only=False)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = batch.column("tf").to_numpy(zero_copy_only=False)
     bucket = doc // width
     rel = doc - bucket * width
     return _lists_by_key([bucket, term, doc], {"docs": rel, "freqs": tf},
@@ -223,7 +223,7 @@ def _segment_runs_block(batch: pa.Table, *, width: int) -> pa.Table:
             "docs": pa.array([], pa.list_(pa.uint32())),
             "freqs": pa.array([], pa.list_(pa.uint32())),
         })
-    term = batch.column("term_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    term = batch.column("term_id").to_numpy(zero_copy_only=False)
     docs_col = batch.column("docs").combine_chunks()
     freqs_col = batch.column("freqs").combine_chunks()
     d_off = docs_col.offsets.to_numpy()
@@ -237,10 +237,10 @@ def _segment_runs_block(batch: pa.Table, *, width: int) -> pa.Table:
         })
     term_flat = np.repeat(term, lens)
     doc = docs_col.values.to_numpy(zero_copy_only=False)[
-        d_off[0]:d_off[-1]].astype(np.int64)
+        d_off[0]:d_off[-1]]
     f_off = freqs_col.offsets.to_numpy()
     tf = freqs_col.values.to_numpy(zero_copy_only=False)[
-        f_off[0]:f_off[-1]].astype(np.int64)
+        f_off[0]:f_off[-1]]
     bucket = doc // width
     rel = doc - bucket * width
     return _lists_by_key([bucket, term_flat, doc], {"docs": rel, "freqs": tf},
