@@ -456,25 +456,42 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
                    "num_selectors": cfg.num_selectors},
         batch_format="pyarrow", batch_size=None, num_cpus=1,
     )
-    rtabs = [t for t in ray.get(res.to_arrow_refs())
-             if t is not None and t.num_rows]
-    rt = pa.concat_tables(rtabs, promote_options="default") if rtabs else \
-        pa.table({"stream": pa.array([], pa.uint8()),
-                  "hash": pa.array([], pa.int64()),
-                  "pattern": pa.array([], pa.binary())})
-    # min-reduce pattern bytes per (stream, hash) with ONE vectorized
-    # arrow group_by — the per-row Python loop this replaces was an
-    # ~8 s serial driver chunk at 5M resolved rows (it scaled with
-    # corpus size and with nothing else)
+    # min-reduce pattern bytes per (stream, hash) as a PARALLEL tree
+    # over the task outputs: a frequent winner's bytes are emitted by
+    # nearly every block, so pulling all per-block tables to one
+    # driver-side group_by was a serial chunk that grew with block
+    # count x winner count (the measured reason this sub-stage scaled
+    # at 0.42 while the scan pass beside it scaled at 0.58).  Fan-in 8
+    # keeps the tree shallow; each merge is the same vectorized arrow
+    # group_by min, so collision semantics are unchanged.
+    rt = pa.table({"stream": pa.array([], pa.uint8()),
+                   "hash": pa.array([], pa.int64()),
+                   "pattern": pa.array([], pa.binary())})
+
+    def _min_merge(*tabs: pa.Table) -> pa.Table:
+        live = [t for t in tabs if t is not None and t.num_rows]
+        if not live:
+            return rt
+        merged = pa.concat_tables(live, promote_options="default")
+        g = merged.group_by(["stream", "hash"]).aggregate(
+            [("pattern", "min")])
+        return pa.table({"stream": g.column("stream"),
+                         "hash": g.column("hash"),
+                         "pattern": g.column("pattern_min")})
+
+    rrefs = [r for r in res.to_arrow_refs()]
+    if rrefs:
+        merge_t = ray.remote(num_cpus=1)(_min_merge)
+        while len(rrefs) > 1:
+            rrefs = [merge_t.remote(*rrefs[i:i + 8])
+                     for i in range(0, len(rrefs), 8)]
+        rt = ray.get(rrefs[0])
     resolved: dict[int, dict[int, bytes]] = {0: {}, 1: {}}
-    if rt.num_rows:
-        rmin = (rt.group_by(["stream", "hash"])
-                .aggregate([("pattern", "min")]))
-        for si, h, pat in zip(rmin.column("stream").to_numpy(),
-                              rmin.column("hash").to_numpy(),
-                              rmin.column("pattern_min").to_pylist()):
-            hv = int(h) + (1 << 64) if int(h) < 0 else int(h)
-            resolved[int(si)][hv] = pat
+    for si, h, pat in zip(rt.column("stream").to_numpy(),
+                          rt.column("hash").to_numpy(),
+                          rt.column("pattern").to_pylist()):
+        hv = int(h) + (1 << 64) if int(h) < 0 else int(h)
+        resolved[int(si)][hv] = pat
     _sub("resolve")
 
     out = []
