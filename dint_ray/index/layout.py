@@ -41,6 +41,20 @@ def write_posting_list(docs: np.ndarray, freqs: np.ndarray, docs_codec, freqs_co
         return write_sequence_list(docs, freqs, docs_codec.kind)
     n = len(docs)
     assert n >= 1 and len(freqs) == n
+    # single-dict DINT pair: whole list in one C call (byte-identical
+    # twin, tests/test_dint.py; per-block Python staging dominated the
+    # encode stage once the DP itself was fast)
+    from dint_ray.dint.codec import SingleDintCodec
+
+    if (type(docs_codec) is SingleDintCodec
+            and type(freqs_codec) is SingleDintCodec
+            and not docs_codec.greedy and not freqs_codec.greedy):
+        from dint_ray import native
+
+        enc = native.write_list(docs, freqs, BLOCK_SIZE,
+                                docs_codec.d.lookup, freqs_codec.d.lookup)
+        if enc is not None:
+            return enc
     blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     out = bytearray(varbyte.encode_single(n))
     maxs_at = len(out)

@@ -302,3 +302,31 @@ def test_c_opt_encoder_matches_python(single_dict, multi_dict):
             want = dc._opt_encode_core(buf, lk, b, hashes, tails)
             got = native.opt_encode(buf, lk, b)
             assert got == want, (len(buf), b)
+
+
+def test_c_write_list_matches_python(single_dict, monkeypatch):
+    """The whole-list C kernel (native.dint_write_list) must be
+    BYTE-identical to the per-block Python composition in
+    index/layout.py write_posting_list — header, maxs, endpoints,
+    full-block DP sections and partial-block interpolative tails."""
+    from dint_ray import native
+    from dint_ray.dint.codec import SingleDintCodec
+    from dint_ray.index import layout as L
+
+    if not native.available():
+        pytest.skip("C kernels unavailable")
+    dcodec = SingleDintCodec(single_dict)
+    fcodec = SingleDintCodec(single_dict)
+    rng = np.random.default_rng(7)
+    # list shapes: single partial block, exactly one block, several
+    # blocks + tail, dense (gap-0 runs), sparse (big gaps)
+    for n, gap_hi in ((1, 5), (133, 4), (256, 4), (257, 4), (1000, 3),
+                      (2049, 50), (700, 100000)):
+        gaps = rng.integers(1, gap_hi + 1, n).astype(np.uint64)
+        docs = (np.cumsum(gaps) - 1).astype(np.uint32)
+        freqs = rng.integers(1, 30, n).astype(np.uint32)
+        got = L.write_posting_list(docs, freqs, dcodec, fcodec)
+        with monkeypatch.context() as m:
+            m.setattr(native, "write_list", lambda *a, **k: None)
+            want = L.write_posting_list(docs, freqs, dcodec, fcodec)
+        assert got == want, n
