@@ -119,7 +119,13 @@ def merge_counts(parts: list[dict[bytes, int]]) -> dict[bytes, int]:
 # --------------------------------------------------------------------------
 
 def aligned_hashes(buf: np.ndarray, s: int) -> np.ndarray:
-    """64-bit hash of every aligned s-gram of ``buf`` (vectorized)."""
+    """64-bit hash of every aligned s-gram of ``buf`` (C kernel when
+    available — value-identical, asserted in tests — else numpy)."""
+    from dint_ray import native
+
+    got = native.aligned_hashes(buf, s)
+    if got is not None:
+        return got
     from dint_ray.util import _M, _finalize
 
     m = len(buf) // s * s

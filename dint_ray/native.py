@@ -1069,6 +1069,25 @@ int64_t dint_opt_encode(const uint32_t *buf, int64_t n,
     return p - out;
 }
 
+/* 64-bit polynomial hash of every ALIGNED s-gram of buf — the exact
+   twin of dint/stats.py aligned_hashes (same enc_hash constants and
+   finalizer; tests assert equality).  The numpy version pays one
+   strided u64 pass per window position plus a per-size astype; this
+   loop is one linear scan.  nwin = n // s windows, out gets nwin. */
+void aligned_window_hashes(const uint32_t *buf, int64_t nwin, int64_t s,
+                           uint64_t *out) {
+    for (int64_t w = 0; w < nwin; w++) {
+        const uint32_t *v = buf + w * s;
+        uint64_t h = 0;
+        for (int64_t i = 0; i < s; i++) h = h * ENC_M + (uint64_t)v[i];
+        h += ENC_LENMIX * (uint64_t)s;
+        h ^= h >> 30; h *= ENC_MIX1;
+        h ^= h >> 27; h *= ENC_MIX2;
+        h ^= h >> 31;
+        out[w] = h;
+    }
+}
+
 /* Whole-posting-list payload for the single-dict DINT layout — the
    C twin of index/layout.py write_posting_list for the
    SingleDintCodec/SingleDintCodec case (byte-identical, asserted in
@@ -1295,6 +1314,8 @@ void minhash_sigs(const uint64_t *sid, const int64_t *offsets,
 _CDEF = """
 void dint_probe_build(const uint64_t *th, const uint32_t *tc, int64_t m,
                       uint64_t *slots, int64_t tsize);
+void aligned_window_hashes(const uint32_t *buf, int64_t nwin, int64_t s,
+                           uint64_t *out);
 int64_t dint_opt_encode(const uint32_t *buf, int64_t n,
                         const uint64_t *slots, uint64_t mask,
                         int32_t b, uint8_t *out);
@@ -1528,6 +1549,23 @@ def opt_encode(buf: np.ndarray, lookup, b: int) -> bytes | None:
     if got < 0:
         return None
     return out[:got].tobytes()
+
+
+def aligned_hashes(buf: np.ndarray, s: int) -> np.ndarray | None:
+    """C twin of dint/stats.py aligned_hashes (value-identical;
+    asserted in tests).  None -> numpy path."""
+    ffi, lib = get_lib()
+    if lib is None:
+        return None
+    nwin = len(buf) // s
+    if nwin == 0:
+        return np.empty(0, dtype=np.uint64)
+    buf = np.ascontiguousarray(buf, dtype=np.uint32)
+    out = np.empty(nwin, dtype=np.uint64)
+    lib.aligned_window_hashes(
+        ffi.cast("uint32_t *", buf.ctypes.data), nwin, s,
+        ffi.cast("uint64_t *", out.ctypes.data))
+    return out
 
 
 def write_list(docs: np.ndarray, freqs: np.ndarray, block_size: int,

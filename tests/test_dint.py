@@ -330,3 +330,29 @@ def test_c_write_list_matches_python(single_dict, monkeypatch):
             m.setattr(native, "write_list", lambda *a, **k: None)
             want = L.write_posting_list(docs, freqs, dcodec, fcodec)
         assert got == want, n
+
+
+def test_c_aligned_hashes_match_numpy():
+    """native.aligned_window_hashes must be VALUE-identical to the
+    numpy polynomial+finalizer in stats.aligned_hashes (the stats
+    mining and resolve passes key everything on these hashes)."""
+    from dint_ray import native
+    from dint_ray.util import _M, _finalize
+
+    if not native.available():
+        pytest.skip("C kernels unavailable")
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 15, 16, 17, 4096, 100003):
+        buf = rng.integers(0, 1 << 31, n).astype(np.uint32)
+        for s in (16, 8, 4, 2, 1):
+            got = native.aligned_hashes(buf, s)
+            m = n // s * s
+            if not m:
+                assert len(got) == 0
+                continue
+            w = buf[:m].reshape(-1, s).astype(np.uint64)
+            h = np.zeros(len(w), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(s):
+                    h = h * _M + w[:, j]
+            assert (got == _finalize(h, s)).all(), (n, s)
