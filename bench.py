@@ -249,8 +249,10 @@ SCALING_VOCAB = 30_000
 SCALING_SHARDS = 32
 # sized so the 32-CPU leg's timed section is still dominated by owner
 # compute (the C-kernel WAND cursors made per-query work ~10x cheaper;
-# at 80k queries the fixed scatter/merge costs swamped the wide leg)
-SCALING_QUERIES = 320_000
+# at 80k queries the fixed scatter/merge costs swamped the wide leg).
+# Overridable for larger corpora: per-query work scales with df, so at
+# 2M docs (DINT_SCALING_DOCS) the same wall needs ~1/4 the queries.
+SCALING_QUERIES = int(os.environ.get("DINT_SCALING_QUERIES", "320000"))
 SCALING_DIR = "/tmp/dint_ray_scaling"
 # The dedup legs get their own, 4x-larger corpus WITH a controlled
 # duplicate population (8% exact copies + 4% near-duplicates): the

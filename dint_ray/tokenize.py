@@ -141,12 +141,27 @@ class Tokenizer:
 def doc_lengths_batch(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """(doc_id, len) per row; len = token count (the `.sizes` equivalent,
-    /root/reference/src/create_wand_data.cpp:22)."""
+    /root/reference/src/create_wand_data.cpp:22).  Same Arrow kernel and
+    fallback pair as the Tokenizer: token count == number of non-empty
+    complement-class splits == len(findall), the equivalence the
+    tokenizer tests pin."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    texts = batch.column(text_col).to_pylist()
-    lens = np.fromiter(
-        (len(_TOKEN.findall(t.lower())) for t in texts), dtype=np.uint32, count=len(texts)
-    )
+    try:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), pattern="[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets)
+        keep = (np.asarray(pc.binary_length(toks.values)) > 0).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(keep)))
+        lens = (csum[offs[1:]] - csum[offs[:-1]]).astype(np.uint32)
+    except (pa.ArrowNotImplementedError, AttributeError):
+        texts = batch.column(text_col).to_pylist()
+        lens = np.fromiter(
+            (len(_TOKEN.findall(t.lower())) for t in texts),
+            dtype=np.uint32, count=len(texts))
     return pa.table({
         "doc_id": pa.array(ids.astype(np.uint64), pa.uint64()),
         "len": pa.array(lens, pa.uint32()),
