@@ -284,12 +284,26 @@ def _scaling_fixture() -> str:
         from dint_ray.fixtures import generate_pages
 
         os.makedirs(path, exist_ok=True)
-        t = generate_pages(SCALING_DOCS, vocab_size=SCALING_VOCAB, seed=11)
-        step = (SCALING_DOCS + SCALING_SHARDS - 1) // SCALING_SHARDS
-        for i in range(SCALING_SHARDS):
-            part = t.slice(i * step, step)
-            pq.write_table(part, os.path.join(path, f"part-{i:04d}.parquet"),
-                           row_group_size=4096)
+        # chunked like _dedup_fixture so a multi-million-doc corpus
+        # (DINT_SCALING_DOCS) never holds more than one chunk's Python
+        # strings; doc_offset keeps doc_id / url / warc_ts coherent.
+        # At the historical default (<= 500k) a single draw preserves
+        # the exact corpus of scaling runs 5-19 (one seed-11 draw).
+        chunk = SCALING_DOCS if SCALING_DOCS <= 500_000 else 250_000
+        shards_per_chunk = max(1, SCALING_SHARDS * chunk // SCALING_DOCS)
+        shard = 0
+        for off in range(0, SCALING_DOCS, chunk):
+            t = generate_pages(min(chunk, SCALING_DOCS - off),
+                               vocab_size=SCALING_VOCAB,
+                               seed=11 + off // chunk, doc_offset=off)
+            step = (t.num_rows + shards_per_chunk - 1) // shards_per_chunk
+            for i in range(shards_per_chunk):
+                part = t.slice(i * step, step)
+                if part.num_rows:
+                    pq.write_table(
+                        part, os.path.join(path, f"part-{shard:04d}.parquet"),
+                        row_group_size=4096)
+                shard += 1
         with open(done, "w") as f:
             f.write("ok")
     return path
