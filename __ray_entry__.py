@@ -22,6 +22,23 @@ from typing import Any
 
 from dint_ray import entry as _impl
 
+# Warm the C-kernel compile cache at import so the first entry call
+# doesn't pay it; a missing compiler must never abort an entry — every
+# kernel caller falls back to the vectorized numpy path, we just say so
+# loudly once.
+try:
+    from dint_ray import native as _native
+
+    if not _native.available():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dint_ray C kernels unavailable (no working `cc`?) — "
+            "running on the pure-Python/numpy fallback paths; results "
+            "are identical, throughput is lower")
+except Exception:  # pragma: no cover - the warm-up itself must be safe
+    pass
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""

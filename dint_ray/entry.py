@@ -525,15 +525,103 @@ def index_dir_for(sf_dir: str, kind: str) -> str:
     return f"/tmp/dint_ray_entry/{_SIG}/{tag}_{_data_sig(sf_dir)}/{kind}"
 
 
+# kind-independent build checkpoints, shared across the 16 index kinds
+# the roundtrip entries build over the SAME corpus: tokenize/vocab/
+# postings/sizes depend only on the input, and the pattern-stats
+# checkpoint only on the single/multi dictionary family — re-deriving
+# them 16x was most of the driver-visible cold-start wall.
+_SHARED_FILES = ("vocab.parquet", "vocab_meta.json", "sizes.parquet")
+_SHARED_DIRS = ("postings",)
+
+
+def _stats_family(kind: str) -> str | None:
+    """Stats-checkpoint sharing family, or None for block/sequence kinds
+    (which mine no dictionary stats).  collect_stats_batch and the
+    winner selection branch only on kind == 'multi_packed'."""
+    if kind.startswith("block_") or kind in ("ef", "pef_opt", "pef_uniform"):
+        return None
+    return "multi" if kind == "multi_packed" else "single"
+
+
+def _shared_ckpt_dir(sf_dir: str) -> str:
+    return os.path.join(os.path.dirname(index_dir_for(sf_dir, "x")),
+                        "_shared")
+
+
+def _seed_shared(sf_dir: str, out: str, kind: str) -> None:
+    """Symlink already-published kind-independent checkpoints into a
+    fresh kind directory so build_index_ray resumes past them."""
+    shared = _shared_ckpt_dir(sf_dir)
+    fam = _stats_family(kind)
+    pairs = [(n, n) for n in _SHARED_FILES + _SHARED_DIRS]
+    if fam:
+        pairs += [(f"stats_{s}.{fam}.parquet", f"stats_{s}.parquet")
+                  for s in ("docs", "freqs")]
+    for sname, dname in pairs:
+        src, dst = os.path.join(shared, sname), os.path.join(out, dname)
+        if not os.path.exists(src) or os.path.lexists(dst):
+            continue
+        if dname in _SHARED_DIRS and not os.path.exists(
+                os.path.join(src, "_SUCCESS")):
+            continue
+        try:
+            os.symlink(src, dst)
+        except OSError:
+            pass  # concurrent seeder; the build re-derives regardless
+
+
+def _publish_shared(sf_dir: str, out: str, kind: str) -> None:
+    """Hardlink this build's kind-independent checkpoints into the
+    shared directory (atomic per artifact; races are benign — builds
+    only ever write checkpoint files via tmp+rename, never in place)."""
+    shared = _shared_ckpt_dir(sf_dir)
+    os.makedirs(shared, exist_ok=True)
+    fam = _stats_family(kind)
+    pairs = [(n, n) for n in _SHARED_FILES]
+    if fam:
+        pairs += [(f"stats_{s}.parquet", f"stats_{s}.{fam}.parquet")
+                  for s in ("docs", "freqs")]
+    for sname, dname in pairs:
+        src, dst = os.path.join(out, sname), os.path.join(shared, dname)
+        if not os.path.exists(src) or os.path.exists(dst):
+            continue
+        tmp = dst + f".tmp{os.getpid()}"
+        try:
+            os.link(os.path.realpath(src), tmp)
+            os.rename(tmp, dst)
+        except OSError:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    for name in _SHARED_DIRS:
+        src, dst = os.path.join(out, name), os.path.join(shared, name)
+        if (not os.path.isdir(src) or os.path.islink(src)
+                or os.path.exists(dst)
+                or not os.path.exists(os.path.join(src, "_SUCCESS"))):
+            continue
+        tmpd = dst + f".tmp{os.getpid()}"
+        try:
+            os.makedirs(tmpd)
+            for fn in os.listdir(src):
+                os.link(os.path.join(src, fn), os.path.join(tmpd, fn))
+            os.rename(tmpd, dst)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmpd, ignore_errors=True)
+
+
 def ensure_index(sf_dir: str, kind: str = "single_packed",
                  num_shards: int = 4) -> str:
-    """Build (or resume) the index for sf_dir/documents.parquet."""
+    """Build (or resume) the index for sf_dir/documents.parquet,
+    sharing kind-independent checkpoints across sibling kinds."""
     from dint_ray.pipelines.build import build_index_ray
 
     out = index_dir_for(sf_dir, kind)
     os.makedirs(out, exist_ok=True)
+    _seed_shared(sf_dir, out, kind)
     build_index_ray(os.path.join(sf_dir, "documents.parquet"), out, kind=kind,
                     num_shards=num_shards)
+    _publish_shared(sf_dir, out, kind)
     return out
 
 

@@ -659,19 +659,32 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     # re-tokenizes — the cheap side of that trade flips at scale, where
     # tokenize is a long stage worth its own checkpoint.
     rows_dir = os.path.join(out_dir, "postings_rows")
-    ckpt_rows = bcfg.checkpoint_rows
-    if ckpt_rows is None:
-        ckpt_rows = num_docs > 5_000_000
-    if _done(rows_dir):
-        rows_ds = rd.read_parquet(rows_dir)
-    elif ckpt_rows:
-        os.makedirs(rows_dir, exist_ok=True)
-        tokenize_rows(pages, bcfg, from_html=from_html).write_parquet(rows_dir)
-        _mark_done(rows_dir)
-        rows_ds = rd.read_parquet(rows_dir)
-    else:
-        rows_ds = tokenize_rows(pages, bcfg,
-                                from_html=from_html).materialize()
+    vocab_path = os.path.join(out_dir, "vocab.parquet")
+    lists_dir = os.path.join(out_dir, "postings")
+    sizes_path = os.path.join(out_dir, "sizes.parquet")
+    # every consumer of the tokenized rows (vocabulary, posting lists,
+    # doc sizes) checkpoints its own output — when all three artifacts
+    # exist (a resume, or a sibling-kind build seeded from shared
+    # checkpoints), skip tokenization entirely instead of eagerly
+    # materializing a dataset nobody reads
+    need_rows = not (os.path.exists(vocab_path) and _done(lists_dir)
+                     and os.path.exists(sizes_path))
+    rows_ds = None
+    if need_rows:
+        ckpt_rows = bcfg.checkpoint_rows
+        if ckpt_rows is None:
+            ckpt_rows = num_docs > 5_000_000
+        if _done(rows_dir):
+            rows_ds = rd.read_parquet(rows_dir)
+        elif ckpt_rows:
+            os.makedirs(rows_dir, exist_ok=True)
+            tokenize_rows(pages, bcfg,
+                          from_html=from_html).write_parquet(rows_dir)
+            _mark_done(rows_dir)
+            rows_ds = rd.read_parquet(rows_dir)
+        else:
+            rows_ds = tokenize_rows(pages, bcfg,
+                                    from_html=from_html).materialize()
     t = _tick("tokenize", t)
 
     # --- doc sizes (overlapped): depends only on the tokenized rows,
@@ -683,7 +696,6 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
 
     from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
 
-    sizes_path = os.path.join(out_dir, "sizes.parquet")
     sizes_thread = None
     sizes_err: list[BaseException] = []
     sizes_wall = [0.0]
@@ -711,7 +723,6 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
                                    build_vocabulary_ds, df_partials,
                                    max_df_of_vocab, write_vocab_parquet)
 
-    vocab_path = os.path.join(out_dir, "vocab.parquet")
     vocab_meta_path = os.path.join(out_dir, "vocab_meta.json")
     use_join = bcfg.vocab_mode == "dataset"
     if not os.path.exists(vocab_path):
@@ -754,7 +765,6 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     # so neither the checkpoint write nor its re-read sits on the
     # critical path.  Resume still gates on the _SUCCESS marker, which
     # is only written after the background write completes. ---
-    lists_dir = os.path.join(out_dir, "postings")
     ckpt_thread = None
     ckpt_err: list[BaseException] = []
     if not _done(lists_dir):
