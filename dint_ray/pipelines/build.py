@@ -402,13 +402,28 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         # if the executor split a pack output block (tasks filter by
         # part value, not by block boundary).
         prefs = [r for r in packed.to_arrow_refs()]
+        # multi-node locality twin of postings._direct_merge_exchange:
+        # pre-split packed blocks per bucket so each agg task fetches
+        # only its own rows (1x network); single node keeps filter-all
+        from dint_ray.postings import (_exchange_map_split,
+                                       _split_block_by_part)
+
+        map_split = _exchange_map_split() and width > 1
+        if map_split:
+            splitter = ray.remote(num_cpus=1)(_split_block_by_part)
+            per_block = [splitter.options(num_returns=width).remote(r, width)
+                         for r in prefs]
 
         def _agg_part(p: int, totals, cfg, nctx, *tabs) -> pa.Table:
             import pyarrow.compute as pc
 
-            sel = [t.filter(pc.equal(t.column("part"), p))
-                   for t in tabs if t is not None and t.num_rows]
-            sel = [s for s in sel if s.num_rows]
+            if map_split:
+                sel = [t for t in tabs
+                       if t is not None and t.num_columns and t.num_rows]
+            else:
+                sel = [t.filter(pc.equal(t.column("part"), p))
+                       for t in tabs if t is not None and t.num_rows]
+                sel = [s for s in sel if s.num_rows]
             if not sel:
                 return _agg_packed_block(
                     _PACKED_STATS_SCHEMA.empty_table(),
@@ -418,7 +433,9 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
                 totals=totals, cfg=cfg, nctx=nctx)
 
         agg_t = ray.remote(num_cpus=1)(_agg_part)
-        cand = [agg_t.remote(p, totals, cfg, nctx, *prefs)
+        cand = [agg_t.remote(p, totals, cfg, nctx,
+                             *([pb[p] for pb in per_block] if map_split
+                               else prefs))
                 for p in range(width)]
         agg = pa.concat_tables(
             [t for t in ray.get(cand) if t is not None and t.num_rows],
@@ -788,23 +805,40 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
 
         def _ckpt_job() -> None:
             try:
-                # Sequential driver-side write, one plasma block at a
-                # time: `lists_ds.write_parquet` here was a SECOND live
+                # Per-block zero-CPU writer TASKS, bounded in flight:
+                # `lists_ds.write_parquet` here was a SECOND live
                 # streaming execution competing with the pattern-stats
                 # exchanges for every task slot — measured at 2M docs /
                 # 24 CPUs the stats stage ran 78.8 s overlapped vs
-                # 25.8 s standalone (run 21).  This loop costs one
-                # driver core + IO and leaves the executor to the
-                # critical path; blocks are zero-copy plasma reads.
+                # 25.8 s standalone (run 21) — and the round-3 fix
+                # (driver `ray.get` + write) funneled every postings
+                # byte through the driver process: on a cluster,
+                # through its NIC.  num_cpus=0 keeps the writers off
+                # the executor's task slots (the run-21 property), and
+                # Ray's locality-aware scheduling runs each writer on
+                # the node that owns the block, so no postings byte
+                # crosses the network.  Assumes out_dir is shared
+                # storage on a real cluster (same contract as every
+                # other checkpoint/shard write in this pipeline).
                 import ray as _ray
 
-                for i, ref in enumerate(lists_ds.to_arrow_refs()):
-                    tbl = _ray.get(ref)
+                def _write_block(tbl, path: str) -> int:
                     if tbl is None or tbl.num_rows == 0:
-                        continue
-                    pq.write_table(
-                        tbl, os.path.join(lists_dir,
-                                          f"part-{i:05d}.parquet"))
+                        return 0
+                    pq.write_table(tbl, path)
+                    return 1
+
+                writer = _ray.remote(num_cpus=0)(_write_block)
+                pending = []
+                for i, ref in enumerate(lists_ds.to_arrow_refs()):
+                    pending.append(writer.remote(
+                        ref, os.path.join(lists_dir,
+                                          f"part-{i:05d}.parquet")))
+                    if len(pending) >= 64:
+                        ready, pending = _ray.wait(
+                            pending, num_returns=len(pending) - 32)
+                        _ray.get(ready)  # surface writer errors early
+                _ray.get(pending)
                 _mark_done(lists_dir)
             except BaseException as e:  # re-raised before the manifest
                 ckpt_err.append(e)

@@ -821,6 +821,52 @@ def build_posting_lists_joined(rows_ds, vocab_ds,
 _DIRECT_EXCHANGE_MAX_REFS = 4_000_000
 
 
+def _multi_node() -> bool:
+    try:
+        import ray
+
+        return len([n for n in ray.nodes() if n.get("Alive")]) > 1
+    except Exception:
+        return False
+
+
+def _exchange_map_split() -> bool:
+    """Whether the direct exchange pre-splits each map block into
+    per-partition sub-blocks (one ``num_returns=width`` task per block)
+    so a merge task fetches ONLY its own partition's bytes.
+
+    On one node the filter-all design is measured faster (the map-side
+    compaction pass exceeds the foreign-row scans it saves —
+    scripts/profile_postings.py A/B, BASELINE.md run 19), and plasma
+    reads are zero-copy, so locality doesn't matter.  On a multi-node
+    cluster filter-all ships every block to every merge task's node —
+    network bytes ~ width x data — while the pre-split keeps the
+    exchange at 1x, which dominates any CPU delta.  Auto-gated on
+    cluster size; DINT_EXCHANGE_MAP_SPLIT=0/1 overrides for A/B."""
+    env = os.environ.get("DINT_EXCHANGE_MAP_SPLIT")
+    if env is not None and env != "auto":
+        return env not in ("0", "")
+    return _multi_node()
+
+
+def _split_block_by_part(tab: pa.Table, width: int):
+    """One exchange map block -> ``width`` compacted per-partition
+    sub-tables (the ``part`` column is consumed).  take() compacts each
+    slice — a pickled zero-copy slice would drag the parent buffers
+    into the object store with it."""
+    if "part" not in tab.column_names:
+        # materialize() can surface zero-row blocks with an empty
+        # schema; pass them through for the merge side's num_columns
+        # filter
+        return tuple(tab for _ in range(width))
+    part = tab.column("part").to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    bounds = np.searchsorted(part[order], np.arange(width + 1))
+    return tuple(
+        tab.take(order[bounds[i]:bounds[i + 1]]).drop_columns(["part"])
+        for i in range(width))
+
+
 def _grouped_part_fallback(merge_fn, part_of):
     """Split-safe `fallback` for ``_direct_merge_exchange``: re-tag each
     row with its partition id and hand ``merge_fn`` COMPLETE partitions
@@ -894,22 +940,42 @@ def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
                 .map_batches(merge_fn, batch_format="pyarrow",
                              batch_size=None))
 
+    # multi-node: pre-split each block so merge task p fetches only its
+    # own partition's bytes (1x network instead of width x); single
+    # node keeps the measured-faster filter-all design (zero-copy
+    # plasma reads, no compaction pass)
+    # width 1 has nothing to localize (and Ray would not unpack a
+    # num_returns=1 tuple); the filter path is exact there
+    map_split = _exchange_map_split() and width > 1
+    if map_split:
+        splitter = ray.remote(num_cpus=1)(_split_block_by_part)
+        per_block = [splitter.options(num_returns=width).remote(r, width)
+                     for r in refs]
+        part_inputs = [[pb[p] for pb in per_block] for p in range(width)]
+
     def _merge_part(p: int, *tabs) -> pa.Table:
         import pyarrow.compute as pc
 
         avail = [t for t in tabs if t is not None and t.num_columns]
-        sel = [t.filter(pc.equal(t.column("part"), p)).drop_columns(["part"])
-               for t in avail if t.num_rows]
-        sel = [s for s in sel if s.num_rows]
-        if not sel:
-            empty = avail[0].drop_columns(["part"]).slice(0, 0)
-            return merge_fn(empty)
+        if map_split:
+            sel = [t for t in avail if t.num_rows]
+            if not sel:
+                return merge_fn(avail[0].slice(0, 0))
+        else:
+            sel = [t.filter(pc.equal(t.column("part"), p))
+                   .drop_columns(["part"]) for t in avail if t.num_rows]
+            sel = [s for s in sel if s.num_rows]
+            if not sel:
+                return merge_fn(avail[0].drop_columns(["part"]).slice(0, 0))
         return merge_fn(pa.concat_tables(sel, promote_options="default"))
+
+    def _args_for(p: int):
+        return part_inputs[p] if map_split else refs
 
     splits = _exchange_splits()
     if splits <= 1:
         mt = ray.remote(num_cpus=1)(_merge_part)
-        return rd.from_arrow_refs([mt.remote(p, *refs)
+        return rd.from_arrow_refs([mt.remote(p, *_args_for(p))
                                    for p in range(width)])
 
     def _merge_part_split(p: int, *tabs):
@@ -926,7 +992,7 @@ def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
 
     mts = ray.remote(num_cpus=1, num_returns=splits)(_merge_part_split)
     return rd.from_arrow_refs([r for p in range(width)
-                               for r in mts.remote(p, *refs)])
+                               for r in mts.remote(p, *_args_for(p))])
 
 
 def _use_hash_shuffle() -> None:

@@ -76,7 +76,10 @@ def _fragment_one_row(path: str, docs_codec, freqs_codec,
             cols[c] = pa.array([v], t.schema.field(c).type)
         return pa.table(cols)
 
-    rest = t.take([j for j in range(t.num_rows) if j != i])
+    # typed indices: an empty plain list infers a null-typed array and
+    # take() has no (T, null) kernel — bites when the file has 1 row
+    rest = t.take(pa.array([j for j in range(t.num_rows) if j != i],
+                           pa.int64()))
     if out_paths is None:
         new = pa.concat_tables([rest, row_table(a), row_table(b)])
         pq.write_table(new, path)

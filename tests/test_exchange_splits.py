@@ -15,13 +15,14 @@ from dint_ray.fixtures import pages_fixture_path
 N_DOCS, VOCAB = 500, 80
 
 
-def _lists_by_term(splits: int, strategy: str):
+def _lists_by_term(splits: int, strategy: str, map_split: bool = False):
     import ray.data as rd
 
     from dint_ray import postings as P
     from dint_ray.config import BuildConfig
 
     os.environ["DINT_EXCHANGE_SPLITS"] = str(splits)
+    os.environ["DINT_EXCHANGE_MAP_SPLIT"] = "1" if map_split else "0"
     try:
         pages = pages_fixture_path(N_DOCS, VOCAB, seed=23)
         cfg = BuildConfig(merge_strategy=strategy, salt_df_threshold=64,
@@ -38,6 +39,7 @@ def _lists_by_term(splits: int, strategy: str):
         return out, lists.num_blocks()
     finally:
         os.environ.pop("DINT_EXCHANGE_SPLITS", None)
+        os.environ.pop("DINT_EXCHANGE_MAP_SPLIT", None)
 
 
 @pytest.mark.parametrize("strategy", ["single", "salted"])
@@ -52,3 +54,18 @@ def test_split_exchange_matches_whole_blocks(ray_session, strategy):
     # the split path must emit MORE blocks (sub-block load balancing);
     # equality would mean the splits silently collapsed
     assert nblocks4 > nblocks1
+
+
+@pytest.mark.parametrize("strategy", ["single", "salted"])
+def test_map_split_exchange_matches_filter_all(ray_session, strategy):
+    """The multi-node map-side pre-split (merge task p receives only
+    its own partition's compacted sub-blocks) must be byte-identical to
+    the single-node filter-all design, at both sub-block settings."""
+    base, _ = _lists_by_term(1, strategy, map_split=False)
+    for splits in (1, 4):
+        ms, _ = _lists_by_term(splits, strategy, map_split=True)
+        assert set(base) == set(ms)
+        for tid, (docs, freqs) in base.items():
+            sd, sf = ms[tid]
+            assert np.array_equal(docs, sd), f"term {tid} docs differ"
+            assert np.array_equal(freqs, sf), f"term {tid} freqs differ"

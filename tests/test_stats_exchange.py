@@ -42,7 +42,13 @@ def test_packed_exchange_matches_driver_branch(plists, tmp_path,
     monkeypatch.setattr(B, "STATS_DRIVER_AGG_MAX_ROWS", 0)
     docs_b, freqs_b = B.mine_stats_ray(
         plists, kind, str(d / "b_docs.parquet"), str(d / "b_freqs.parquet"))
-    for a, b in ((docs_a, docs_b), (freqs_a, freqs_b)):
+    # multi-node locality mode: map-side pre-split per bucket must be
+    # byte-identical too
+    monkeypatch.setenv("DINT_EXCHANGE_MAP_SPLIT", "1")
+    docs_c, freqs_c = B.mine_stats_ray(
+        plists, kind, str(d / "c_docs.parquet"), str(d / "c_freqs.parquet"))
+    for a, b in ((docs_a, docs_b), (freqs_a, freqs_b),
+                 (docs_a, docs_c), (freqs_a, freqs_c)):
         assert a.num_rows == b.num_rows
         assert a.equals(b)
 
