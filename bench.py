@@ -290,9 +290,17 @@ def _scaling_fixture() -> str:
         # At the historical default (<= 500k) a single draw preserves
         # the exact corpus of scaling runs 5-19 (one seed-11 draw).
         chunk = SCALING_DOCS if SCALING_DOCS <= 500_000 else 250_000
-        shards_per_chunk = max(1, SCALING_SHARDS * chunk // SCALING_DOCS)
+        # distribute SCALING_SHARDS across chunks (remainder spread over
+        # the head) so the total shard count stays exactly
+        # SCALING_SHARDS even when SCALING_DOCS isn't a chunk multiple —
+        # floor division drifted the file-level parallelism between
+        # corpus sizes (600k docs -> 39 shards, 750k -> 30)
+        nchunks = (SCALING_DOCS + chunk - 1) // chunk
+        base_spc = max(1, SCALING_SHARDS // nchunks)
+        extra = max(0, SCALING_SHARDS - base_spc * nchunks)
         shard = 0
-        for off in range(0, SCALING_DOCS, chunk):
+        for ci, off in enumerate(range(0, SCALING_DOCS, chunk)):
+            shards_per_chunk = base_spc + (1 if ci < extra else 0)
             t = generate_pages(min(chunk, SCALING_DOCS - off),
                                vocab_size=SCALING_VOCAB,
                                seed=11 + off // chunk, doc_offset=off)

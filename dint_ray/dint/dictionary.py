@@ -71,6 +71,19 @@ class LookupTable:
     def lookup(self, h: int) -> int:
         return int(self.lookup_many(np.array([h], dtype=np.uint64))[0])
 
+    # the C probe table (native.probe_table) caches its open-addressing
+    # slots array here (>= 4x entry count at 16 B/slot); shipping it
+    # inside every ray.put broadcast / checkpoint pickle of the
+    # dictionary bundle inflated serialized size ~5x — drop it and let
+    # each process rebuild lazily (one cheap C call)
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_probe", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
 
 def _reserved_lookup_pairs() -> list[tuple[int, int]]:
     """Run codewords 2..6 for zero patterns of sizes 256..16

@@ -1553,9 +1553,16 @@ def opt_encode(buf: np.ndarray, lookup, b: int) -> bytes | None:
 
 def aligned_hashes(buf: np.ndarray, s: int) -> np.ndarray | None:
     """C twin of dint/stats.py aligned_hashes (value-identical;
-    asserted in tests).  None -> numpy path."""
+    asserted in tests).  None -> numpy path.
+
+    uint32 inputs only: the kernel hashes 32-bit windows, while the
+    numpy twin promotes wider dtypes to uint64 without truncation —
+    route anything wider back to the numpy path instead of silently
+    truncating."""
     ffi, lib = get_lib()
     if lib is None:
+        return None
+    if buf.dtype.itemsize > 4 or buf.dtype.kind not in "ui":
         return None
     nwin = len(buf) // s
     if nwin == 0:

@@ -159,8 +159,11 @@ def doc_lengths_batch(batch: pa.Table, text_col: str = "text",
         lens = (csum[offs[1:]] - csum[offs[:-1]]).astype(np.uint32)
     except (pa.ArrowNotImplementedError, AttributeError):
         texts = batch.column(text_col).to_pylist()
+        # null text -> len 0, matching the Arrow path (which yields an
+        # empty split for nulls) so doc lengths are path-independent
         lens = np.fromiter(
-            (len(_TOKEN.findall(t.lower())) for t in texts),
+            (0 if t is None else len(_TOKEN.findall(t.lower()))
+             for t in texts),
             dtype=np.uint32, count=len(texts))
     return pa.table({
         "doc_id": pa.array(ids.astype(np.uint64), pa.uint64()),

@@ -151,3 +151,71 @@ def test_sum_by_key_distributed_is_exact(ray_session):
     assert got_pd["df"].astype(np.int64).tolist() == exp["df"].tolist()
     # exactly one row per key — no split-block duplicates
     assert got_pd["term"].is_unique
+
+
+def test_aligned_hashes_wide_dtype_routes_to_numpy():
+    """The C kernel hashes 32-bit windows; a uint64 input with values
+    >= 2^32 must fall back (return None) rather than silently
+    truncate, so it always agrees with the numpy path."""
+    from dint_ray import native
+    from dint_ray.dint import stats as st
+
+    wide = np.array([1 << 40, (1 << 41) + 3, 7, 9, 1 << 33, 2, 5, 8],
+                    dtype=np.uint64)
+    assert native.aligned_hashes(wide, 4) is None
+    # and the public stats path still produces hashes for wide input
+    got = st.aligned_hashes(wide, 4)
+    assert len(got) == 2
+    if native.available():
+        narrow = (wide & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        kern = native.aligned_hashes(narrow, 4)
+        assert kern is not None
+        np.testing.assert_array_equal(kern, st.aligned_hashes(narrow, 4))
+
+
+def test_lookup_table_pickle_drops_probe_cache():
+    """probe_table caches open-addressing slots (>= 4x entries at
+    16 B/slot) on the LookupTable; pickling the dictionary bundle must
+    not ship it — each process rebuilds lazily."""
+    import pickle
+
+    from dint_ray import native
+    from dint_ray.dint.dictionary import LookupTable
+
+    lt = LookupTable.from_pairs([(h, h % 97) for h in
+                                 range(1000, 2000, 7)])
+    if native.available():
+        native.probe_table(lt)
+        assert getattr(lt, "_probe", None) is not None
+    else:
+        lt._probe = (np.zeros(8, np.uint64), 7)  # simulate the cache
+    rt = pickle.loads(pickle.dumps(lt))
+    assert not hasattr(rt, "_probe")
+    np.testing.assert_array_equal(rt.hashes, lt.hashes)
+    np.testing.assert_array_equal(rt.codewords, lt.codewords)
+    if native.available():
+        # the cache rebuilds after unpickle and serves lookups
+        native.probe_table(rt)
+        assert rt.lookup(1007) == lt.lookup(1007)
+
+
+def test_doc_lengths_null_text_is_zero_both_paths():
+    from dint_ray import tokenize as T
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta", None, "gamma"], pa.string()),
+    })
+    arrow = T.doc_lengths_batch(batch)
+    assert arrow.column("len").to_pylist() == [2, 0, 1]
+    # force the regex fallback by monkeypatching the Arrow kernel away
+    import pyarrow.compute as pc
+    orig = pc.split_pattern_regex
+    try:
+        def boom(*a, **k):
+            raise pa.ArrowNotImplementedError("forced")
+        pc.split_pattern_regex = boom
+        fb = T.doc_lengths_batch(batch)
+    finally:
+        pc.split_pattern_regex = orig
+    assert fb.column("len").to_pylist() == [2, 0, 1]
