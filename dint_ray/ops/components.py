@@ -39,9 +39,12 @@ chain graphs a large-star/small-star contraction (Kiveris et al.,
 at O(log² n) — ``max_rounds`` guards that regime loudly instead of
 silently looping.
 
-Scale shape: driver holds O(width²) tiny ObjectRefs per round (width ≤
-64), never data; per-task memory is O(partition); the only all-to-all
-is candidate traffic, which delta-propagation shrinks each round.
+Scale shape: driver holds O(width²) tiny ObjectRefs per round, never
+data; per-task memory is O(|E|/width).  Width scales with the edge
+count (~4M edges per partition, floor at the CPU count) up to 512 —
+at the cap the per-round ref fan-out is ~262k refs (fine) and a
+10^10-edge pair graph still fits ~20M edges per partition; beyond
+that, reach for the star-contraction variant rather than more width.
 """
 
 from __future__ import annotations
@@ -63,7 +66,13 @@ def _part_of_nodes(nodes: np.ndarray, width: int) -> np.ndarray:
     return ((h >> np.uint64(33)) % np.uint64(width)).astype(np.int64)
 
 
-def _cc_width(width: int | None) -> int:
+# target edges per resident partition when auto-sizing the width; the
+# cap bounds the O(width^2) per-round ref fan-out on the driver
+_CC_EDGES_PER_PART = 4_000_000
+_CC_MAX_WIDTH = 512
+
+
+def _cc_width(width: int | None, num_edges: int | None = None) -> int:
     if width:
         return int(width)
     try:
@@ -72,7 +81,14 @@ def _cc_width(width: int | None) -> int:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    return min(64, max(8, ncpu))
+    base = max(8, ncpu)
+    if num_edges:
+        # partition memory is O(|E|/width): grow width with the edge
+        # count instead of capping at a constant (the former min(64,·)
+        # made partitions ~|E|/64 regardless of graph size)
+        need = -(-num_edges // _CC_EDGES_PER_PART)
+        return min(_CC_MAX_WIDTH, max(base, need))
+    return base
 
 
 def _make_norm_edges(a_col: str, b_col: str):
@@ -208,13 +224,13 @@ def connected_components_ds(pairs_ds, *, a_col: str = "doc_a",
     import ray
     import ray.data as rd
 
-    width = _cc_width(width)
-
     norm = pairs_ds.map_batches(_make_norm_edges(a_col, b_col),
                                 batch_format="pyarrow").materialize()
     refs = [r for r in norm.to_arrow_refs()]
-    if norm.count() == 0:
+    num_edges = norm.count()
+    if num_edges == 0:
         return rd.from_arrow(pa.table(_EMPTY_LABELS))
+    width = _cc_width(width, num_edges)
 
     split = ray.remote(num_cpus=1, num_returns=width)(_split_edges)
     slices: list[list] = [[] for _ in range(width)]

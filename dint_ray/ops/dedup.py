@@ -24,8 +24,8 @@ import re
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_RE = r"[a-z0-9]+"
 _tok = re.compile(TOKEN_RE)
@@ -899,6 +899,61 @@ def _simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
     return out
 
 
+def _simhash_pair_kernel(max_hamming: int):
+    """Arrow twin of the former pandas map_groups bucket UDF: one
+    vectorized pass per complete bucket partition.  Lexsort on
+    (band_id, band_hash), run detection, then Hamming-verified triu
+    pairs only over COLLIDED groups (the singleton majority never
+    enters a Python loop).  Same output as the pandas version: doc_a <
+    doc_b, hamming <= max_hamming."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        n = batch.num_rows
+        if n < 2:
+            return empty
+        band = batch.column("band_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = batch.column("band_hash").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((docs, h, band))
+        b_s, h_s = band[order], h[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        docs_s, sh_s = docs[order], sh[order]
+        out_a, out_b, out_h = [], [], []
+        for s, size in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            d = docs_s[s:s + size]
+            sg = sh_s[s:s + size]
+            a, b = np.triu_indices(size, k=1)
+            ham = _popcount64(sg[a] ^ sg[b])
+            keep = ham <= max_hamming
+            if keep.any():
+                out_a.append(d[a[keep]])
+                out_b.append(d[b[keep]])
+                out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a).astype(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b).astype(np.int64),
+                              pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return kernel
+
+
 def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
     """Near-dup pairs by SimHash: bucket on each of ``max_hamming+1``
     bit-bands (any pair within Hamming<=max_hamming shares at least one
@@ -930,40 +985,27 @@ def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
             "simhash": pa.array(full, pa.int64()),
         })
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
-            grp = grp.sort_values("doc_id")
-            docs = grp["doc_id"].to_numpy()
-            if len(docs) < 2:
-                continue
-            sh = grp["simhash"].to_numpy().view(np.uint64)
-            a, b = np.triu_indices(len(docs), k=1)
-            ham = _popcount64(sh[a] ^ sh[b])
-            keep = ham <= max_hamming
-            if keep.any():
-                out.append(pd.DataFrame({"doc_a": docs[a[keep]],
-                                         "doc_b": docs[b[keep]],
-                                         "hamming": ham[keep]}))
-        if not out:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        return pd.concat(out, ignore_index=True)
-
     from ray.data.aggregate import Count
 
+    from dint_ray.postings import _direct_merge_exchange
+
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    # materialize between the two hash shuffles (bucket exchange, then
-    # pair-distinct groupby): two shuffle operators in one streaming
-    # plan self-backpressure over aggregator CPU reservations —
-    # measured 3.1x the staged wall on the MinHash twin of this chain
-    # (minhash_dedup_pairs_ds).  The intermediate is candidate-pair
-    # rows only (bounded by bands x near-dup pairs), spillable.
-    raw = (exploded.map_batches(_add_pair_bucket, batch_format="pyarrow")
-           .groupby("bucket")
-           .map_groups(pairs_of_bucket, batch_format="pandas")
-           .materialize())
+    # candidate emission rides the same direct task exchange as the
+    # MinHash path (one vectorized Arrow kernel per complete bucket
+    # partition) instead of a groupby().map_groups pandas hop; the
+    # partition is a pure function of bucket, itself pure on
+    # (band_id, band_hash), so groups arrive whole
+    nparts = min(_PAIR_BUCKETS, max(16, _derived_concurrency()))
+    bucketed = exploded.map_batches(_add_pair_bucket,
+                                    batch_format="pyarrow")
+
+    def _part_of(b: pa.Table) -> np.ndarray:
+        bk = b.column("bucket").to_numpy(zero_copy_only=False)
+        return (bk.astype(np.int64) % nparts).astype(np.uint32)
+
+    raw = _direct_merge_exchange(
+        bucketed, nparts, _simhash_pair_kernel(max_hamming), _part_of,
+        fallback_keys=("bucket",))
     # a pair can surface from several bands -> distinct (hamming is a
     # function of the pair, so grouping on all three keys is exact)
     return (raw.groupby(["doc_a", "doc_b", "hamming"]).aggregate(Count())
@@ -1188,17 +1230,30 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
         h = (crc % num_buckets).astype(np.int32)
         return batch.append_column("bucket", pa.array(h, pa.int32()))
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        """All co-occurrence pairs within one hash bucket of shingles.
-
-        One UDF call per bucket (not per shingle): equal shingles are
-        contiguous after an in-bucket sort, so pair emission is a scan
-        over group slices — the per-group-call overhead of
-        map_groups(shingle) is avoided."""
-        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
-        docs = g["doc_id"].to_numpy()
-        codes, starts = np.unique(g["shingle"].to_numpy(), return_index=True)
-        bounds = np.append(starts, len(docs))
+    def pairs_of_partition(batch: pa.Table) -> pa.Table:
+        """All co-occurrence pairs within one complete hash partition
+        of shingles — the Arrow twin of the former pandas map_groups
+        bucket UDF.  Equal shingles are contiguous after the Arrow
+        string sort, run boundaries come from one vectorized adjacent
+        not_equal, and only collided groups enter the Python loop.
+        Grouping is on the EXACT shingle string (never its crc), so a
+        crc bucket collision cannot merge distinct shingles."""
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        n = batch.num_rows
+        if n < 2:
+            return empty
+        t = batch.select(["shingle", "doc_id"]).sort_by(
+            [("shingle", "ascending"), ("doc_id", "ascending")])
+        sh = t.column("shingle").combine_chunks()
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(sh.slice(1), sh.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = neq
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, n)
         out_a, out_b = [], []
         dropped = 0
         for s, e in zip(bounds[:-1], bounds[1:]):
@@ -1216,25 +1271,31 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
 
             logging.getLogger(__name__).warning(
                 "ngram_jaccard: dropped %d hot shingles with df > %d "
-                "from pair emission in one bucket", dropped,
+                "from pair emission in one partition", dropped,
                 max_shingle_df)
         if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+            return empty
+        return pa.table({
+            "doc_a": pa.array(np.concatenate(out_a).astype(np.int64),
+                              pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b).astype(np.int64),
+                              pa.int64()),
+        })
 
-    # materialize between the two hash shuffles (bucket exchange, then
-    # pair groupby): two shuffle operators in one streaming plan
-    # self-backpressure — measured 3.1x the staged wall on the MinHash
-    # twin of this chain (minhash_dedup_pairs_ds).  The intermediate is
-    # (pair, shared-shingle) rows, bounded by the hot-shingle df cap.
-    emitted = (
-        shingles.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-        .materialize()
-    )
+    # candidate emission rides the direct task exchange (complete
+    # partitions, part pure on bucket) like the MinHash path — the
+    # former groupby().map_groups pandas hop cost the hash-aggregate
+    # machinery plus a pandas conversion of every shingle row
+    from dint_ray.postings import _direct_merge_exchange
+
+    def _part_of(b: pa.Table) -> np.ndarray:
+        bk = b.column("bucket").to_numpy(zero_copy_only=False)
+        return (bk.astype(np.int64) % num_buckets).astype(np.uint32)
+
+    emitted = _direct_merge_exchange(
+        shingles.map_batches(add_bucket, batch_format="pyarrow"),
+        num_buckets, pairs_of_partition, _part_of,
+        fallback_keys=("bucket",))
     inter = (
         emitted
         .groupby(["doc_a", "doc_b"])

@@ -117,3 +117,32 @@ def test_near_dedup_keep_no_pairs_keeps_all():
     kept = sorted(r["doc_id"] for r in
                   near_dedup_keep_ds(docs, _pairs([])).take_all())
     assert kept == [4, 7, 9]
+
+
+def test_cc_width_scales_with_edges():
+    from dint_ray.ops.components import (_CC_EDGES_PER_PART,
+                                         _CC_MAX_WIDTH, _cc_width)
+
+    explicit = _cc_width(17)
+    assert explicit == 17
+    base = _cc_width(None)
+    assert base >= 8
+    # small graphs stay at the CPU-count floor
+    assert _cc_width(None, 1_000) == base
+    # large graphs grow ~|E| / edges-per-part, capped
+    assert _cc_width(None, 100 * _CC_EDGES_PER_PART) == max(base, 100)
+    assert _cc_width(None, 10**12) == _CC_MAX_WIDTH
+
+
+def test_components_wide_width_matches_union_find(ray_session):
+    """Correctness is width-independent: force a width far above the
+    old 64 cap on a small graph (many empty partitions)."""
+    import ray.data as rd
+
+    from dint_ray.ops.components import connected_components_ds
+
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 300, size=(500, 2)) if a != b]
+    got = _labels_dict(connected_components_ds(_pairs(edges), width=97))
+    assert got == _union_find(edges)
