@@ -713,6 +713,18 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
 
     from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
 
+    # ONE scan of the tokenized rows feeds BOTH the vocabulary df
+    # partials and the doc-length partials (fused_partials); the two
+    # former passes each re-read every (doc_id, term, tf) row from
+    # plasma.  The views below only re-read partial-sized blocks.
+    df_part_view = sizes_part_view = None
+    if rows_ds is not None and (not os.path.exists(vocab_path)
+                                or not os.path.exists(sizes_path)):
+        from dint_ray.postings import fused_partials
+
+        df_part_view, sizes_part_view = fused_partials(rows_ds)
+        t = _tick("fused_partials", t)
+
     sizes_thread = None
     sizes_err: list[BaseException] = []
     sizes_wall = [0.0]
@@ -723,7 +735,9 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
                 import dint_ray
 
                 dint_ray.ensure_tuned()  # DataContext may be thread-local
-                write_sizes_sorted(doc_sizes(rows_ds), sizes_path)
+                write_sizes_sorted(doc_sizes(rows_ds,
+                                             partial=sizes_part_view),
+                                   sizes_path)
             except BaseException as e:  # re-raised at join
                 sizes_err.append(e)
             finally:
@@ -743,7 +757,8 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     vocab_meta_path = os.path.join(out_dir, "vocab_meta.json")
     use_join = bcfg.vocab_mode == "dataset"
     if not os.path.exists(vocab_path):
-        partial = df_partials(rows_ds)
+        partial = (df_part_view if df_part_view is not None
+                   else df_partials(rows_ds))
         if bcfg.vocab_mode == "auto":
             use_join = partial.count() > bcfg.vocab_dataset_threshold
         stage_secs["vocabulary.df_partials"] = round(time.time() - t, 2)

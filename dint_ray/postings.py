@@ -33,6 +33,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from dint_ray.config import BuildConfig
@@ -1123,14 +1124,73 @@ def _partial_sizes(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["doc_id", "len_part"])
 
 
-def doc_sizes(rows_ds):
-    """(doc_id, len) Dataset; len = sum of tfs = token count."""
+def doc_sizes(rows_ds, partial=None):
+    """(doc_id, len) Dataset; len = sum of tfs = token count.
+    ``partial``: pre-computed (doc_id, len_part) rows (e.g. from
+    ``fused_partials``) so the corpus-scale rows aren't re-scanned."""
     import ray.data as rd
 
-    partial = rows_ds.map_batches(_partial_sizes, batch_format="pyarrow",
-                                  batch_size=None).materialize()
+    if partial is None:
+        partial = rows_ds.map_batches(_partial_sizes,
+                                      batch_format="pyarrow",
+                                      batch_size=None).materialize()
     res = _sum_by_key(partial, "doc_id", "len_part", "len", pa.int64())
     return rd.from_arrow(res) if isinstance(res, pa.Table) else res
+
+
+def _fused_partial_block(batch: pa.Table) -> pa.Table:
+    """Map-side combine emitting BOTH per-block partials in one pass:
+    df rows (kind 0: term, df_part) and doc-length rows (kind 1:
+    doc_id, len_part) as a tagged union table — the separate
+    df_partials and _partial_sizes passes each re-scanned every
+    tokenized row from plasma."""
+    df = _partial_df(batch)
+    sz = _partial_sizes(batch)
+    n_df, n_sz = df.num_rows, sz.num_rows
+    return pa.table({
+        "kind": pa.array(
+            np.concatenate([np.zeros(n_df, np.uint8),
+                            np.ones(n_sz, np.uint8)]), pa.uint8()),
+        "term": pa.concat_arrays([
+            df.column("term").combine_chunks().cast(pa.string()),
+            pa.nulls(n_sz, pa.string())]),
+        "df_part": pa.concat_arrays([
+            df.column("df_part").combine_chunks().cast(pa.int64()),
+            pa.nulls(n_sz, pa.int64())]),
+        "doc_id": pa.concat_arrays([
+            pa.nulls(n_df, pa.int64()),
+            sz.column("doc_id").combine_chunks().cast(pa.int64())]),
+        "len_part": pa.concat_arrays([
+            pa.nulls(n_df, pa.int64()),
+            sz.column("len_part").combine_chunks().cast(pa.int64())]),
+    })
+
+
+def fused_partials(rows_ds):
+    """ONE scan of the tokenized rows -> (df_partial_view,
+    sizes_partial_view): two lazy Datasets over a single materialized
+    tagged partial set.  The views re-read only partial-sized blocks
+    (<= one df row per (term, block) + ~one length row per doc), not
+    the corpus-scale rows."""
+
+    def _take_df(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("kind"), 0))
+        return pa.table({"term": f.column("term").cast(pa.string()),
+                         "df_part": f.column("df_part")})
+
+    def _take_sizes(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("kind"), 1))
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "len_part": f.column("len_part")})
+
+    fused = rows_ds.map_batches(_fused_partial_block,
+                                batch_format="pyarrow",
+                                batch_size=None).materialize()
+    df_view = fused.map_batches(_take_df, batch_format="pyarrow",
+                                batch_size=None)
+    sz_view = fused.map_batches(_take_sizes, batch_format="pyarrow",
+                                batch_size=None)
+    return df_view, sz_view
 
 
 # --------------------------------------------------------------------------
