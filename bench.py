@@ -104,6 +104,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         2 * decoded / max(decode_ns, 1) * 1e3, 1)
     extra["decode_ns_per_int"] = round(decode_ns / max(2 * decoded, 1), 2)
 
+    # --- 1b. dict_perf analogue (reference src/dict_perf_test.cpp:32-60:
+    # avg ns per random-codeword dict.copy()).  Our decode path gathers
+    # whole 16-int entries from the (size, 16) matrix, so the measured
+    # unit is one vectorized entry copy; 10 runs x 1M draws.
+    from dint_ray.index.build import load_codec_bundle
+
+    bundle = load_codec_bundle(out_dir, manifest["dict_kind"])
+    if bundle.docs_dict is not None:
+        d = bundle.docs_dict
+        pd_ = getattr(d, "dicts", [d])[0] if not hasattr(d, "entries16") \
+            else d
+        rng = np.random.default_rng(7)
+        runs, n_draw = 10, 1_000_000
+        idx = rng.integers(0, pd_.size, n_draw).astype(np.int64)
+        total = 0.0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = pd_.entries16[idx]
+            total += time.perf_counter() - t0
+            assert out.shape[1] == 16
+        extra["dict_copy_ns"] = round(total / runs / n_draw * 1e9, 2)
+        extra["dict_entries"] = int(pd_.size)
+
     # --- 2. BM25 serving -------------------------------------------------
     # Headline: vectorized exact scorer (rank-identical to WAND /
     # MaxScore / exhaustive ranked-OR — asserted in tests); the faithful
