@@ -543,9 +543,11 @@ def _build_dict_one(table: pa.Table, kind: str, cfg: DintConfig):
     ctx = table.column("ctx").to_numpy()
     pats = table.column("pattern").to_pylist()
     freqs = table.column("freq").to_numpy()
-    if kind in ("single_packed", "single_rect"):
+    if kind in ("single_packed", "single_packed8", "single_rect"):
         from dint_ray.dint.dictionary import build_rect_single
+        from dint_ray.index.build import cfg_for_kind
 
+        cfg = cfg_for_kind(kind, cfg)
         counts = {p: int(f) for p, f in zip(pats, freqs)}
         builder = (build_rect_single if kind == "single_rect"
                    else build_packed_single)
@@ -649,6 +651,9 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
     import dint_ray
 
     dint_ray.tune_for_cluster()
+    from dint_ray.index.build import cfg_for_kind
+
+    cfg = cfg_for_kind(kind, cfg)
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -843,15 +848,22 @@ def build_index_ray(pages_path: str, out_dir: str, kind: str = "single_packed",
                     pq.write_table(tbl, path)
                     return 1
 
+                # in-flight cap 2: num_cpus=0 writers are invisible to
+                # the scheduler, so a wide window ran ~dozens of
+                # concurrent parquet-compression processes UNDER the
+                # pattern-stats stage (measured: hash_count 2.7 -> 9.1 s
+                # and driver winner_select 0.5 -> 1.8 s at 24 CPUs).
+                # The round-3 driver loop was effectively ONE writer;
+                # two writer tasks match its throughput without the
+                # driver funnel.
                 writer = _ray.remote(num_cpus=0)(_write_block)
                 pending = []
                 for i, ref in enumerate(lists_ds.to_arrow_refs()):
                     pending.append(writer.remote(
                         ref, os.path.join(lists_dir,
                                           f"part-{i:05d}.parquet")))
-                    if len(pending) >= 64:
-                        ready, pending = _ray.wait(
-                            pending, num_returns=len(pending) - 32)
+                    if len(pending) >= 2:
+                        ready, pending = _ray.wait(pending, num_returns=1)
                         _ray.get(ready)  # surface writer errors early
                 _ray.get(pending)
                 _mark_done(lists_dir)
