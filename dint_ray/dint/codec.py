@@ -213,9 +213,12 @@ def _opt_encode(buf: np.ndarray, lookup: LookupTable, b: int,
     return _opt_encode_core(buf, lookup, b, hashes, tails)
 
 
-def encode_block_opt(buf: np.ndarray, d: PackedDict) -> bytes:
-    """opt_dint_single_dict_block::encode with b=16."""
-    return _opt_encode(buf, d.lookup, 16)
+def encode_block_opt(buf: np.ndarray, d: PackedDict, b: int = 16) -> bytes:
+    """opt_dint_single_dict_block::encode with codeword width ``b``
+    (16, or 8 for the comment-compiled single_packed8 variant of
+    dint_configuration.hpp:6-29 — a 256-entry dictionary whose stream
+    is single bytes)."""
+    return _opt_encode(buf, d.lookup, b)
 
 
 def encode_block_multi(buf: np.ndarray, m: MultiPackedDict) -> bytes:
@@ -245,10 +248,11 @@ def encode_block_multi(buf: np.ndarray, m: MultiPackedDict) -> bytes:
 # full-block wrappers (partial blocks -> interpolative)
 
 def encode_single(buf: np.ndarray, sum_of_values: int, d: PackedDict,
-                  greedy: bool = False) -> bytes:
+                  greedy: bool = False, b: int = 16) -> bytes:
     if len(buf) < BLOCK_SIZE:
         return interpolative.encode(buf, sum_of_values)
-    return encode_block_greedy(buf, d) if greedy else encode_block_opt(buf, d)
+    return encode_block_greedy(buf, d) if greedy \
+        else encode_block_opt(buf, d, b)
 
 
 def encode_multi(buf: np.ndarray, sum_of_values: int, m: MultiPackedDict) -> bytes:
@@ -336,10 +340,14 @@ def _decode_codeword_stream(codes: np.ndarray, n: int, d: PackedDict,
 
 
 def decode_single(buf: np.ndarray, offset: int, sum_of_values: int, n: int,
-                  d: PackedDict) -> tuple[np.ndarray, int]:
-    """dint_block::decode (b=16) with interpolative fallback."""
+                  d: PackedDict, b: int = 16) -> tuple[np.ndarray, int]:
+    """dint_block::decode (b=16, or b=8 single-byte codewords) with
+    interpolative fallback."""
     if n < BLOCK_SIZE:
         return interpolative.decode(buf, offset, sum_of_values, n)
+    if b == 8:
+        vals, used = _decode_codeword_stream(buf[offset:], n, d, wide=False)
+        return vals, offset + used
     avail = (len(buf) - offset) // 2
     codes = buf[offset : offset + 2 * avail].view("<u2")
     vals, used = _decode_codeword_stream(codes, n, d, wide=True)
@@ -369,17 +377,23 @@ def decode_multi(buf: np.ndarray, offset: int, sum_of_values: int, n: int,
 # --------------------------------------------------------------------------
 
 class SingleDintCodec:
-    """encode/decode interface bound to one PackedDict (docs OR freqs)."""
+    """encode/decode interface bound to one PackedDict (docs OR freqs).
+    ``b`` is the codeword width: 16 (default), or 8 for single_packed8
+    (256-entry dictionary, single-byte codeword stream)."""
 
-    def __init__(self, d: PackedDict, greedy: bool = False) -> None:
+    def __init__(self, d: PackedDict, greedy: bool = False,
+                 b: int = 16) -> None:
         self.d = d
         self.greedy = greedy
+        self.b = b
 
     def encode(self, values: np.ndarray, sum_of_values: int) -> bytes:
-        return encode_single(values, sum_of_values, self.d, greedy=self.greedy)
+        return encode_single(values, sum_of_values, self.d,
+                             greedy=self.greedy, b=self.b)
 
     def decode(self, buf: np.ndarray, offset: int, sum_of_values: int, n: int):
-        return decode_single(buf, offset, sum_of_values, n, self.d)
+        return decode_single(buf, offset, sum_of_values, n, self.d,
+                             b=self.b)
 
 
 class MultiDintCodec:

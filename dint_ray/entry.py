@@ -536,10 +536,14 @@ _SHARED_DIRS = ("postings",)
 
 def _stats_family(kind: str) -> str | None:
     """Stats-checkpoint sharing family, or None for block/sequence kinds
-    (which mine no dictionary stats).  collect_stats_batch and the
-    winner selection branch only on kind == 'multi_packed'."""
+    (which mine no dictionary stats).  collect_stats_batch branches
+    only on kind == 'multi_packed', but winner SELECTION depends on the
+    dictionary capacity too, so the 256-entry single_packed8 gets its
+    own family."""
     if kind.startswith("block_") or kind in ("ef", "pef_opt", "pef_uniform"):
         return None
+    if kind == "single_packed8":
+        return "single8"
     return "multi" if kind == "multi_packed" else "single"
 
 
@@ -548,12 +552,17 @@ def _shared_ckpt_dir(sf_dir: str) -> str:
                         "_shared")
 
 
-def _seed_shared(sf_dir: str, out: str, kind: str) -> None:
+def _seed_shared(sf_dir: str, out: str, kind: str,
+                 files_only: bool = False) -> None:
     """Symlink already-published kind-independent checkpoints into a
-    fresh kind directory so build_index_ray resumes past them."""
+    fresh kind directory so build_index_ray resumes past them.
+    ``files_only`` seeds just vocab/sizes — for the serve_direct path,
+    whose stats are mined from SEGMENT gap streams (not shareable with
+    whole-list stats) and which has no postings/ checkpoint."""
     shared = _shared_ckpt_dir(sf_dir)
-    fam = _stats_family(kind)
-    pairs = [(n, n) for n in _SHARED_FILES + _SHARED_DIRS]
+    fam = None if files_only else _stats_family(kind)
+    pairs = [(n, n) for n in
+             (_SHARED_FILES if files_only else _SHARED_FILES + _SHARED_DIRS)]
     if fam:
         pairs += [(f"stats_{s}.{fam}.parquet", f"stats_{s}.parquet")
                   for s in ("docs", "freqs")]
@@ -570,13 +579,14 @@ def _seed_shared(sf_dir: str, out: str, kind: str) -> None:
             pass  # concurrent seeder; the build re-derives regardless
 
 
-def _publish_shared(sf_dir: str, out: str, kind: str) -> None:
+def _publish_shared(sf_dir: str, out: str, kind: str,
+                    files_only: bool = False) -> None:
     """Hardlink this build's kind-independent checkpoints into the
     shared directory (atomic per artifact; races are benign — builds
     only ever write checkpoint files via tmp+rename, never in place)."""
     shared = _shared_ckpt_dir(sf_dir)
     os.makedirs(shared, exist_ok=True)
-    fam = _stats_family(kind)
+    fam = None if files_only else _stats_family(kind)
     pairs = [(n, n) for n in _SHARED_FILES]
     if fam:
         pairs += [(f"stats_{s}.parquet", f"stats_{s}.{fam}.parquet")
@@ -592,7 +602,7 @@ def _publish_shared(sf_dir: str, out: str, kind: str) -> None:
         except OSError:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-    for name in _SHARED_DIRS:
+    for name in () if files_only else _SHARED_DIRS:
         src, dst = os.path.join(out, name), os.path.join(shared, name)
         if (not os.path.isdir(src) or os.path.islink(src)
                 or os.path.exists(dst)
@@ -1073,8 +1083,12 @@ def q_wand_routed_direct(sf_dir: str):
 
     idir = index_dir_for(sf_dir, "serve_direct")
     os.makedirs(idir, exist_ok=True)
+    # vocab/sizes derive identically to the classic build — share them;
+    # stats stay per-path (segment gaps differ from whole-list gaps)
+    _seed_shared(sf_dir, idir, "serve_direct", files_only=True)
     build_serve_direct(os.path.join(sf_dir, "documents.parquet"), idir,
                        kind="single_packed", num_buckets=4)
+    _publish_shared(sf_dir, idir, "serve_direct", files_only=True)
     qds = _query_ds(QUERY_LOG)
     out = run_queries_routed(qds, idir, algo="wand", k=K, num_buckets=4)
 
@@ -1444,6 +1458,9 @@ def registry():
         "posting_lists_joined": (q_posting_lists_joined, SQL_POSTING_LISTS),
         "index_roundtrip_single": (
             lambda sf: q_index_roundtrip(sf, "single_packed"), SQL_POSTING_LISTS),
+        "index_roundtrip_single8": (
+            lambda sf: q_index_roundtrip(sf, "single_packed8"),
+            SQL_POSTING_LISTS),
         "index_roundtrip_multi": (
             lambda sf: q_index_roundtrip(sf, "multi_packed"), SQL_POSTING_LISTS),
         "index_roundtrip_rect": (

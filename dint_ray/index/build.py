@@ -75,6 +75,9 @@ class BuiltDicts:
 
             codec = CODECS[self.kind[len("block_"):]]
             return codec, codec
+        if self.kind == "single_packed8":
+            return (SingleDintCodec(self.docs_dict, b=8),
+                    SingleDintCodec(self.freqs_dict, b=8))
         if self.kind in ("single_packed", "single_rect"):
             return SingleDintCodec(self.docs_dict), SingleDintCodec(self.freqs_dict)
         return MultiDintCodec(self.docs_dict), MultiDintCodec(self.freqs_dict)
@@ -125,8 +128,10 @@ def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
     doc_bufs = [st.docs_gap_buffer(d) for d, _ in postings.values()]
     freq_bufs = [st.freqs_gap_buffer(f) for _, f in postings.values()]
     multi = kind == "multi_packed"
-    if kind not in ("single_packed", "single_rect", "multi_packed"):
+    if kind not in ("single_packed", "single_packed8", "single_rect",
+                    "multi_packed"):
         raise ValueError(f"unknown dict kind {kind!r}")
+    cfg = cfg_for_kind(kind, cfg)
     dcs, dtot = mine_counts_local(doc_bufs, multi, cfg)
     fcs, ftot = mine_counts_local(freq_bufs, multi, cfg)
     if multi:
@@ -142,6 +147,17 @@ def mine_dicts_local(postings: dict[int, tuple[np.ndarray, np.ndarray]],
         docs_dict = build_one(st.select_targets(dcs[0], dtot, cfg), cfg)
         freqs_dict = build_one(st.select_targets(fcs[0], ftot, cfg), cfg)
     return BuiltDicts(kind=kind, docs_dict=docs_dict, freqs_dict=freqs_dict)
+
+
+def cfg_for_kind(kind: str, cfg: DintConfig) -> DintConfig:
+    """single_packed8 = the comment-compiled single-dictionary b=8
+    variant (dint_configuration.hpp:6-29): 256-entry dictionary,
+    single-byte codeword stream.  All other kinds keep cfg as given."""
+    if kind == "single_packed8" and cfg.num_entries != 256:
+        from dataclasses import replace
+
+        return replace(cfg, num_entries=256, log2_num_entries=8)
+    return cfg
 
 
 def dicts_from_blocks_collections(docs_path: str, freqs_path: str,

@@ -48,7 +48,10 @@ def write_posting_list(docs: np.ndarray, freqs: np.ndarray, docs_codec, freqs_co
 
     if (type(docs_codec) is SingleDintCodec
             and type(freqs_codec) is SingleDintCodec
-            and not docs_codec.greedy and not freqs_codec.greedy):
+            and not docs_codec.greedy and not freqs_codec.greedy
+            # the C whole-list writer emits b=16 streams only; the
+            # single_packed8 variant stays on the Python encoder
+            and docs_codec.b == 16 and freqs_codec.b == 16):
         from dint_ray import native
 
         enc = native.write_list(docs, freqs, BLOCK_SIZE,

@@ -384,22 +384,28 @@ def build_serve_direct(pages_path: str, out_dir: str,
                                 from_html=from_html).materialize()
     _tick("tokenize")
 
+    from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
+    from dint_ray.postings import fused_partials
+
     vocab_path = os.path.join(out_dir, "vocab.parquet")
+    sizes_path = os.path.join(out_dir, "sizes.parquet")
+    # one scan of the tokenized rows feeds both partial sets (same
+    # fusion as the classic build)
+    df_view = sz_view = None
+    if not (os.path.exists(vocab_path) and os.path.exists(sizes_path)):
+        df_view, sz_view = fused_partials(rows_ds)
     if os.path.exists(vocab_path):
         vocab = Vocabulary(terms=pq.read_table(vocab_path).to_pandas())
     else:
-        vocab = build_vocabulary(rows_ds)
+        vocab = build_vocabulary(rows_ds, df_view)
         tmp = vocab_path + ".tmp"
         pq.write_table(pa.Table.from_pandas(vocab.terms, preserve_index=False),
                        tmp)
         os.replace(tmp, vocab_path)
     _tick("vocabulary")
 
-    from dint_ray.index.docstats import streaming_len_stats, write_sizes_sorted
-
-    sizes_path = os.path.join(out_dir, "sizes.parquet")
     if not os.path.exists(sizes_path):
-        write_sizes_sorted(doc_sizes(rows_ds), sizes_path)
+        write_sizes_sorted(doc_sizes(rows_ds, partial=sz_view), sizes_path)
     total_len, _ = streaming_len_stats(sizes_path)
     avg = float(total_len) / num_docs
     _tick("doc_sizes")
@@ -712,6 +718,11 @@ class PartitionScorer:
             self._universe = hi - self.base
             self.wand = _LocalWand(_OffsetNorms(self.base, n32),
                                    _OffsetNorms(self.base, n64), mw)
+            if manifest["dict_kind"] == "single_packed8":
+                raise ValueError(
+                    "compressed owners: single_packed8 payloads are b=8 "
+                    "codeword streams, which the C kernel would read as "
+                    "b=16 — serve this kind with decoded owners")
             bundle = load_codec_bundle(index_dir, manifest["dict_kind"])
             self._cw = nat.CompressedWand(bundle.docs_dict,
                                           bundle.freqs_dict, n32)

