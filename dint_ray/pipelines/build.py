@@ -206,6 +206,46 @@ _PACKED_STATS_SCHEMA = pa.schema([
 ])
 
 
+def _collect_pack_block(batch: pa.Table, *, kind: str,
+                        width: int) -> pa.Table:
+    """Fused map side of the stats mine: hash-count one block of
+    posting rows AND bucket-pack the partial rows in the same task.
+    The former two passes materialized the ~12 partial rows per
+    posting (24M scalar rows at 2M docs) just to re-scan and re-pack
+    them — the fused stage materializes only the packed form.
+
+    Rides three tiny meta columns on the FIRST packed row of each
+    output (0 elsewhere): per-stream total_ints and the partial-row
+    count, so global totals and the driver/distributed branch decision
+    need no extra corpus-scale pass.  Splits preserve rows, so
+    column sums stay exact under executor re-blocking."""
+    partial = collect_stats_batch(batch, kind=kind)
+    tot = {0: 0, 1: 0}
+    if partial.num_rows:
+        st_col = partial.column("stream").to_numpy()
+        ti = partial.column("total_ints").to_numpy()
+        for si in (0, 1):
+            tot[si] = int(ti[st_col == si].sum())
+    packed = _pack_stats_block(partial.drop_columns(["total_ints"]),
+                               width=width)
+    n = packed.num_rows
+    td = np.zeros(max(n, 1), np.uint64)
+    tf = np.zeros(max(n, 1), np.uint64)
+    npart = np.zeros(max(n, 1), np.int64)
+    td[0], tf[0], npart[0] = tot[0], tot[1], partial.num_rows
+    if n == 0:
+        # totals can be nonzero even with no hashable rows only when
+        # partial carried the size-0 marker rows — those pack into
+        # rows, so n==0 implies empty partial; nothing to carry
+        return packed.append_column(
+            "tot_docs", pa.array([], pa.uint64())).append_column(
+            "tot_freqs", pa.array([], pa.uint64())).append_column(
+            "npartial", pa.array([], pa.int64()))
+    return (packed.append_column("tot_docs", pa.array(td[:n], pa.uint64()))
+            .append_column("tot_freqs", pa.array(tf[:n], pa.uint64()))
+            .append_column("npartial", pa.array(npart[:n], pa.int64())))
+
+
 def _pack_stats_block(batch: pa.Table, *, width: int) -> pa.Table:
     """Bucket one block of scalar partial-stats rows by hash%width and
     emit ONE list row per non-empty bucket.  The stats exchange cost is
@@ -328,69 +368,61 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
 
     postings_ds = postings_ds.materialize()  # consumed twice (count + resolve)
     _sub("materialize_postings")
-    partial = postings_ds.map_batches(
-        collect_stats_batch, fn_kwargs={"kind": kind},
+    # ONE fused pass: hash-count + bucket-pack per block (the former
+    # separate collect -> materialize(24M scalar rows) -> totals scan
+    # -> pack scan -> materialize chain re-read the biggest
+    # intermediate twice; only the packed form materializes now)
+    width = _shuffle_width()
+    packed = postings_ds.map_batches(
+        _collect_pack_block, fn_kwargs={"kind": kind, "width": width},
         batch_format="pyarrow", batch_size=None, num_cpus=1,
     ).materialize()
     multi = kind == "multi_packed"
     nctx = cfg.num_selectors if multi else 1
-    nrows = partial.count()
+    prefs = [r for r in packed.to_arrow_refs()]
     _sub("hash_count")
 
-    # global totals first (the cost filter needs them before selection).
-    # Combined per block BEFORE the driver sees anything — pulling the
-    # full (stream, total_ints) columns to the driver just to sum them
-    # cost ~1.5 s per build at 11M partial rows.
-    def _tot_block(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"stream": pa.array([], pa.uint8()),
-                             "total_ints": pa.array([], pa.uint64())})
-        return (b.select(["stream", "total_ints"]).group_by("stream")
-                .aggregate([("total_ints", "sum")])
-                .rename_columns(["stream", "total_ints"]))
+    # global totals + partial-row count from the per-block meta columns
+    # (num_cpus=0 tasks: locality-scheduled, only the three tiny
+    # columns are touched)
+    def _meta_of(t: pa.Table):
+        if t is None or t.num_rows == 0 or "tot_docs" not in t.column_names:
+            return (0, 0, 0)
+        return (int(t.column("tot_docs").to_numpy().sum()),
+                int(t.column("tot_freqs").to_numpy().sum()),
+                int(t.column("npartial").to_numpy().sum()))
 
-    tot_tab = pa.concat_tables(
-        [t for t in ray.get(partial.map_batches(
-            _tot_block, batch_format="pyarrow", batch_size=None,
-            num_cpus=1).to_arrow_refs()) if t is not None and t.num_rows],
-        promote_options="default")
-    tot_pd = tot_tab.to_pandas().groupby("stream")["total_ints"].sum()
-    totals = {int(k): int(v) for k, v in tot_pd.items()}
+    meta_t = ray.remote(num_cpus=0)(_meta_of)
+    metas = ray.get([meta_t.remote(r) for r in prefs])
+    totals = {0: sum(m[0] for m in metas), 1: sum(m[1] for m in metas)}
+    nrows = sum(m[2] for m in metas)
     _sub("totals")
 
     if nrows <= STATS_DRIVER_AGG_MAX_ROWS:
-        # one multithreaded pyarrow group_by on the driver — below a
-        # few million partial rows the exchange is pure overhead.
-        # Above it the distributed branch wins: the driver group_by +
-        # winner selection is a SERIAL chunk that grows with hash
+        # small inputs: one vectorized unpack-aggregate over the whole
+        # packed set on the driver — the exchange is pure overhead
+        # here.  _agg_packed_block pre-selects winners, which is
+        # idempotent under the identical downstream selection (same
+        # totals, same cfg), so `agg` holding only winner rows is
+        # exact.  Above the threshold the distributed branch wins: the
+        # driver aggregate is a SERIAL chunk that grows with hash
         # cardinality (measured 14 s at 28M partial rows / 19M groups,
-        # identical at every CPU count — the build's scaling killer),
-        # while the hash exchange + per-partition pre-selection below
-        # parallelizes it and ships only candidate rows to the driver.
-        pt = pa.concat_tables(
-            [t for t in ray.get(partial.to_arrow_refs())
-             if t is not None and t.num_rows], promote_options="default")
-        agg = (pt.group_by(["stream", "ctx", "size", "hash"])
-               .aggregate([("freq", "sum")])
-               .rename_columns(["stream", "ctx", "size", "hash", "freq"]))
+        # identical at every CPU count — the build's scaling killer).
+        live = [t for t in ray.get(prefs)
+                if t is not None and t.num_rows]
+        agg = _agg_packed_block(
+            pa.concat_tables(live, promote_options="default")
+            if live else _PACKED_STATS_SCHEMA.empty_table(),
+            totals=totals, cfg=cfg, nctx=nctx)
     else:
         # distributed: hash-partition by hash value (all 4 group keys
         # are functions of rows sharing a hash), exact numpy aggregate
         # + a per-partition winner pre-selection inside each partition,
         # so only candidate rows reach the driver.  The exchange moves
-        # PACKED rows — the map side buckets its rows by hash%width and
-        # ships one list row per (block, bucket) — because the
+        # PACKED rows — one list row per (block, bucket) — because the
         # hash-shuffle cost is per-ROW serde overhead, not bytes
         # (BASELINE.md round-3 A/B: a 37.5%-byte cut moved the posting
-        # exchange ~2%; bundling rows cut it 35-45%).  Packing turns
-        # ~24M scalar rows into width-per-block list rows at identical
-        # payload bytes.
-        width = _shuffle_width()
-        packed = (partial.drop_columns(["total_ints"])
-                  .map_batches(_pack_stats_block,
-                               fn_kwargs={"width": width},
-                               batch_format="pyarrow", batch_size=None,
-                               num_cpus=1).materialize())
+        # exchange ~2%; bundling rows cut it 35-45%).
         # The exchange itself is DIRECT ray tasks, not a keyed
         # repartition: moving the ~width x blocks packed rows through
         # the hash-shuffle operator cost ~2 s of aggregator-actor
@@ -401,7 +433,6 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
         # sums are exact, and no post-hoc dedup pass is needed, even
         # if the executor split a pack output block (tasks filter by
         # part value, not by block boundary).
-        prefs = [r for r in packed.to_arrow_refs()]
         # multi-node locality twin of postings._direct_merge_exchange:
         # pre-split packed blocks per bucket so each agg task fetches
         # only its own rows (1x network); single node keeps filter-all
