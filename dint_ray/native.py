@@ -1562,7 +1562,10 @@ def aligned_hashes(buf: np.ndarray, s: int) -> np.ndarray | None:
     ffi, lib = get_lib()
     if lib is None:
         return None
-    if buf.dtype.itemsize > 4 or buf.dtype.kind not in "ui":
+    # unsigned only: a signed int32 negative wraps mod 2^32 in the C
+    # kernel but promotes sign-extended to uint64 in the numpy twin —
+    # the two paths would diverge, so route signed inputs to numpy
+    if buf.dtype.itemsize > 4 or buf.dtype.kind != "u":
         return None
     nwin = len(buf) // s
     if nwin == 0:

@@ -564,9 +564,11 @@ def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
     # its rows in one table — the former keys= repartition pushed the
     # 8M exploded band rows through Ray's per-row-bound hash-shuffle
     # machinery (10.6 s of the 25 s wall at 24 CPUs / 500k docs).
-    # Past the ref cap the fallback repartition restores the old path
-    # (same partition-not-split contract as before).
-    from dint_ray.postings import _direct_merge_exchange
+    # Past the ref cap the grouped fallback hands the kernel complete
+    # bucket partitions (split-safe even if the executor ever chunks a
+    # keyed partition into several blocks).
+    from dint_ray.postings import (_direct_merge_exchange,
+                                   _grouped_part_fallback)
 
     nparts = min(_PAIR_BUCKETS, max(16, _derived_concurrency()))
     bucketed = exploded.map_batches(_add_pair_bucket,
@@ -576,8 +578,10 @@ def minhash_candidates_ds(docs_ds, num_hashes=64, shingle_k=3, bands=16,
         bk = b.column("bucket").to_numpy(zero_copy_only=False)
         return (bk.astype(np.int64) % nparts).astype(np.uint32)
 
-    return _direct_merge_exchange(bucketed, nparts, _pairs_from_rows,
-                                  _part_of, fallback_keys=("bucket",))
+    return _direct_merge_exchange(
+        bucketed, nparts, _pairs_from_rows, _part_of,
+        fallback_keys=("bucket",),
+        fallback=_grouped_part_fallback(_pairs_from_rows, _part_of))
 
 
 class _ShingleSets:
@@ -987,7 +991,8 @@ def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
 
     from ray.data.aggregate import Count
 
-    from dint_ray.postings import _direct_merge_exchange
+    from dint_ray.postings import (_direct_merge_exchange,
+                                   _grouped_part_fallback)
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
     # candidate emission rides the same direct task exchange as the
@@ -1003,9 +1008,11 @@ def simhash_pairs_ds(docs_ds, max_hamming: int = 3, concurrency: int = 8):
         bk = b.column("bucket").to_numpy(zero_copy_only=False)
         return (bk.astype(np.int64) % nparts).astype(np.uint32)
 
+    kernel = _simhash_pair_kernel(max_hamming)
     raw = _direct_merge_exchange(
-        bucketed, nparts, _simhash_pair_kernel(max_hamming), _part_of,
-        fallback_keys=("bucket",))
+        bucketed, nparts, kernel, _part_of,
+        fallback_keys=("bucket",),
+        fallback=_grouped_part_fallback(kernel, _part_of))
     # a pair can surface from several bands -> distinct (hamming is a
     # function of the pair, so grouping on all three keys is exact)
     return (raw.groupby(["doc_a", "doc_b", "hamming"]).aggregate(Count())
@@ -1286,7 +1293,8 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
     # partitions, part pure on bucket) like the MinHash path — the
     # former groupby().map_groups pandas hop cost the hash-aggregate
     # machinery plus a pandas conversion of every shingle row
-    from dint_ray.postings import _direct_merge_exchange
+    from dint_ray.postings import (_direct_merge_exchange,
+                                   _grouped_part_fallback)
 
     def _part_of(b: pa.Table) -> np.ndarray:
         bk = b.column("bucket").to_numpy(zero_copy_only=False)
@@ -1295,7 +1303,8 @@ def ngram_jaccard_pairs_ds(docs_ds, k: int = 3, threshold: float = 0.5,
     emitted = _direct_merge_exchange(
         shingles.map_batches(add_bucket, batch_format="pyarrow"),
         num_buckets, pairs_of_partition, _part_of,
-        fallback_keys=("bucket",))
+        fallback_keys=("bucket",),
+        fallback=_grouped_part_fallback(pairs_of_partition, _part_of))
     inter = (
         emitted
         .groupby(["doc_a", "doc_b"])

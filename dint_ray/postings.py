@@ -958,6 +958,10 @@ def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
         import pyarrow.compute as pc
 
         avail = [t for t in tabs if t is not None and t.num_columns]
+        if not avail:
+            # every map block arrived as an empty-schema pass-through
+            # (fully-empty input): nothing to merge, nothing to name
+            return pa.table({})
         if map_split:
             sel = [t for t in avail if t.num_rows]
             if not sel:
@@ -1180,8 +1184,11 @@ def fused_partials(rows_ds):
 
     def _take_sizes(b: pa.Table) -> pa.Table:
         f = b.filter(pc.equal(b.column("kind"), 1))
-        return pa.table({"doc_id": f.column("doc_id"),
-                         "len_part": f.column("len_part")})
+        # dtype parity with the non-fused _partial_sizes path (uint64
+        # doc_id from the tokenizer, uint64 sum) so checkpoint schema
+        # is not path-dependent
+        return pa.table({"doc_id": f.column("doc_id").cast(pa.uint64()),
+                         "len_part": f.column("len_part").cast(pa.uint64())})
 
     fused = rows_ds.map_batches(_fused_partial_block,
                                 batch_format="pyarrow",
