@@ -744,12 +744,20 @@ def _components_section(cpus: int) -> dict:
     sec = min(runs)
     assert n_labels == n_comps * CC_COMP_SIZE, \
         f"expected {n_comps * CC_COMP_SIZE} labeled nodes, got {n_labels}"
+    from dint_ray.ops.components import LAST_RUN_INFO
+
+    info = dict(LAST_RUN_INFO)
     return {
         "cc_synth_edges": n_pairs,
         "cc_synth_components": n_comps,
         "cc_synth_labels": n_labels,
         "cc_synth_runs_sec": runs,
         "cc_synth_pairs_per_sec": round(n_pairs / max(sec, 1e-9), 1),
+        "cc_synth_rounds": info.get("rounds"),
+        "cc_synth_width": info.get("width"),
+        "cc_synth_sync_every": info.get("sync_every"),
+        "cc_synth_sec_per_round": (
+            round(sec / info["rounds"], 3) if info.get("rounds") else None),
     }
 
 

@@ -56,6 +56,11 @@ import pyarrow.compute as pc
 _EMPTY_LABELS = {"doc_id": pa.array([], pa.int64()),
                  "component": pa.array([], pa.int64())}
 
+# diagnostics from the most recent connected_components_ds run
+# (rounds to fixpoint, width, batch depth) — read by bench.py for the
+# round-latency numbers in BASELINE.md
+LAST_RUN_INFO: dict = {}
+
 # Fibonacci multiplicative hash on the node id — same function on the
 # split side and the candidate-emit side, or routing breaks.
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
@@ -244,24 +249,42 @@ def connected_components_ds(pairs_ds, *, a_col: str = "doc_a",
     rnd = ray.remote(num_cpus=1, num_returns=width + 2)(_cc_round)
     lparts: list = [None] * width
     incoming: list[list] = [[] for _ in range(width)]
-    for _ in range(max_rounds):
-        changed_refs = []
-        nxt: list[list] = [[] for _ in range(width)]
-        for p in range(width):
-            outs = rnd.remote(width, eparts[p], lparts[p], *incoming[p])
-            lparts[p] = outs[0]
-            changed_refs.append(outs[1])
-            for q in range(width):
-                nxt[q].append(outs[2 + q])
-        incoming = nxt
-        if sum(ray.get(changed_refs)) == 0:
-            break
-    else:
+    # Batched fixpoint check: dispatch `sync_every` rounds of the task
+    # graph before ONE driver sync on the LAST round's changed counts —
+    # labels only decrease, so changed(r)==0 implies changed(r')==0 for
+    # all r'>r and checking the batch tail is exact.  Removes the
+    # per-round driver RTT barrier (round latency was driver RTT x
+    # diameter); cost is at most sync_every-1 no-op rounds of cheap
+    # zero-delta tasks after convergence.  The batch depth is capped by
+    # the in-flight ref fan-out (width^2 refs per dispatched round).
+    sync_every = 4 if width * width * 4 <= 1_500_000 else 2
+    rounds_done = 0
+    converged = False
+    while rounds_done < max_rounds and not converged:
+        last_changed = None
+        for _ in range(min(sync_every, max_rounds - rounds_done)):
+            changed_refs = []
+            nxt: list[list] = [[] for _ in range(width)]
+            for p in range(width):
+                outs = rnd.remote(width, eparts[p], lparts[p], *incoming[p])
+                lparts[p] = outs[0]
+                changed_refs.append(outs[1])
+                for q in range(width):
+                    nxt[q].append(outs[2 + q])
+            incoming = nxt
+            last_changed = changed_refs
+            rounds_done += 1
+        converged = sum(ray.get(last_changed)) == 0
+    if not converged:
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} "
             "rounds — the pair graph has a component of diameter > "
             f"{max_rounds} (not a near-dup shape); raise max_rounds or "
             "switch to a star-contraction variant")
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update({"rounds": rounds_done, "width": width,
+                          "sync_every": sync_every,
+                          "num_edges": num_edges})
     return rd.from_arrow_refs(lparts)
 
 

@@ -445,9 +445,17 @@ def mine_stats_ray(postings_ds, kind: str, docs_path: str, freqs_path: str,
             per_block = [splitter.options(num_returns=width).remote(r, width)
                          for r in prefs]
 
+        trace = os.environ.get("DINT_EXCHANGE_TRACE") == "1"
+
         def _agg_part(p: int, totals, cfg, nctx, *tabs) -> pa.Table:
             import pyarrow.compute as pc
 
+            if trace:
+                from dint_ray.postings import _exchange_trace
+
+                _exchange_trace("merge_in",
+                                sum(t.nbytes for t in tabs
+                                    if t is not None and t.num_columns))
             if map_split:
                 sel = [t for t in tabs
                        if t is not None and t.num_columns and t.num_rows]

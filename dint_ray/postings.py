@@ -850,11 +850,32 @@ def _exchange_map_split() -> bool:
     return _multi_node()
 
 
+def _exchange_trace(kind: str, nbytes: int) -> None:
+    """Best-effort exchange-byte accounting for
+    scripts/multinode_demo.py: when DINT_EXCHANGE_TRACE=1 each exchange
+    task reports (kind, node_id, bytes-in) to the named
+    "dint_exchange_trace" actor (namespace "dint_trace").  Off by
+    default, adds one fire-and-forget actor call per exchange task when
+    on, and never raises — measurement must not break a build."""
+    try:
+        import ray
+
+        actor = ray.get_actor("dint_exchange_trace",
+                              namespace="dint_trace")
+        actor.add.remote(kind,
+                         ray.get_runtime_context().get_node_id(),
+                         int(nbytes))
+    except Exception:
+        pass
+
+
 def _split_block_by_part(tab: pa.Table, width: int):
     """One exchange map block -> ``width`` compacted per-partition
     sub-tables (the ``part`` column is consumed).  take() compacts each
     slice — a pickled zero-copy slice would drag the parent buffers
     into the object store with it."""
+    if os.environ.get("DINT_EXCHANGE_TRACE") == "1":
+        _exchange_trace("split_in", tab.nbytes)
     if "part" not in tab.column_names:
         # materialize() can surface zero-row blocks with an empty
         # schema; pass them through for the merge side's num_columns
@@ -948,6 +969,7 @@ def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
     # width 1 has nothing to localize (and Ray would not unpack a
     # num_returns=1 tuple); the filter path is exact there
     map_split = _exchange_map_split() and width > 1
+    trace = os.environ.get("DINT_EXCHANGE_TRACE") == "1"
     if map_split:
         splitter = ray.remote(num_cpus=1)(_split_block_by_part)
         per_block = [splitter.options(num_returns=width).remote(r, width)
@@ -957,6 +979,10 @@ def _direct_merge_exchange(runs_ds, width: int, merge_fn, part_of,
     def _merge_part(p: int, *tabs) -> pa.Table:
         import pyarrow.compute as pc
 
+        if trace:
+            _exchange_trace("merge_in",
+                            sum(t.nbytes for t in tabs
+                                if t is not None and t.num_columns))
         avail = [t for t in tabs if t is not None and t.num_columns]
         if not avail:
             # every map block arrived as an empty-schema pass-through

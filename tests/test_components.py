@@ -146,3 +146,19 @@ def test_components_wide_width_matches_union_find(ray_session):
              rng.integers(0, 300, size=(500, 2)) if a != b]
     got = _labels_dict(connected_components_ds(_pairs(edges), width=97))
     assert got == _union_find(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_batched_sync_records_run_info():
+    # the fixpoint checks changed-counts only every sync_every rounds;
+    # convergence detection stays exact (labels only decrease) and the
+    # run diagnostics are recorded for bench.py's round-latency table
+    from dint_ray.ops.components import LAST_RUN_INFO
+
+    edges = [(i, i + 1) for i in range(40)]
+    got = _labels_dict(connected_components_ds(_pairs(edges), width=4))
+    assert got == {i: 0 for i in range(41)}
+    assert 0 < LAST_RUN_INFO["rounds"] <= 64
+    assert LAST_RUN_INFO["width"] == 4
+    assert LAST_RUN_INFO["sync_every"] >= 1
+    assert LAST_RUN_INFO["num_edges"] > 0
