@@ -189,7 +189,14 @@ def test_lookup_table_pickle_drops_probe_cache():
         assert getattr(lt, "_probe", None) is not None
     else:
         lt._probe = (np.zeros(8, np.uint64), 7)  # simulate the cache
-    rt = pickle.loads(pickle.dumps(lt))
+    clean = LookupTable.from_pairs([(h, h % 97) for h in
+                                    range(1000, 2000, 7)])
+    blob = pickle.dumps(lt)
+    # serialized-size assert: a broadcast of a probe-warmed table must
+    # cost the same bytes as a cold one (the slot array is >= 4x
+    # entries at 16 B/slot and must never ride along)
+    assert len(blob) <= len(pickle.dumps(clean)) + 64
+    rt = pickle.loads(blob)
     assert not hasattr(rt, "_probe")
     np.testing.assert_array_equal(rt.hashes, lt.hashes)
     np.testing.assert_array_equal(rt.codewords, lt.codewords)

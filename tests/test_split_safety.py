@@ -159,3 +159,62 @@ def test_knn_topk_fallback_under_splits(ray_session, tiny_blocks,
     finally:
         ctx.target_max_block_size = saved
     assert got == want and len(want) == len(qids) * 4
+
+
+def _simhash_pairs_set(ds):
+    return {(r["doc_a"], r["doc_b"]) for r in ds.take_all()}
+
+
+def test_simhash_pairs_fallback_under_splits(ray_session, tiny_blocks,
+                                             forced_fallback):
+    """The simhash pair kernel needs a bucket's rows complete in one
+    call; the ref-cap escape path must route through the grouped
+    fallback (review round 5), not a bare keyed repartition."""
+    docs = _near_dup_docs(n_groups=12)
+    got = _simhash_pairs_set(dedup.simhash_pairs_ds(docs, max_hamming=8))
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 128 * 1024 * 1024
+    try:
+        want = _simhash_pairs_set(dedup.simhash_pairs_ds(docs,
+                                                         max_hamming=8))
+    finally:
+        ctx.target_max_block_size = saved
+    assert want, "fixture must produce simhash candidate pairs"
+    assert got == want
+
+
+def test_ngram_pairs_fallback_under_splits(ray_session, tiny_blocks,
+                                           forced_fallback):
+    docs = _near_dup_docs(n_groups=12)
+    got = _pairs_set(dedup.ngram_jaccard_pairs_ds(docs, threshold=0.5))
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    saved = ctx.target_max_block_size
+    ctx.target_max_block_size = 128 * 1024 * 1024
+    try:
+        want = _pairs_set(dedup.ngram_jaccard_pairs_ds(docs,
+                                                       threshold=0.5))
+    finally:
+        ctx.target_max_block_size = saved
+    assert want, "fixture must produce ngram near-dup pairs"
+    assert got == want
+
+
+def test_knn_topk_map_split_matches_filter_all(ray_session, tiny_blocks):
+    """kNN finalizer under the multi-node pre-split exchange mode x
+    tiny blocks: identical ranks to the default filter-all run."""
+    import os
+
+    emb = _emb_table()
+    queries = [3, 99, 512]
+    want = _topk_rows(simsearch.knn_cosine_ds(emb, queries, k=5))
+    os.environ["DINT_EXCHANGE_MAP_SPLIT"] = "1"
+    try:
+        got = _topk_rows(simsearch.knn_cosine_ds(emb, queries, k=5))
+    finally:
+        os.environ.pop("DINT_EXCHANGE_MAP_SPLIT", None)
+    assert got == want
