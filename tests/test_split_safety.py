@@ -165,12 +165,29 @@ def _simhash_pairs_set(ds):
     return {(r["doc_a"], r["doc_b"]) for r in ds.take_all()}
 
 
+def _simhash_dup_docs(n_groups: int = 12):
+    """Groups of two IDENTICAL docs plus one distant variant: the
+    identical pair is hamming 0 (always emitted), the tail variant
+    measures 13-15 bits on this corpus and must stay excluded at
+    max_hamming=8."""
+    rows = []
+    words = [f"tok{i}" for i in range(40)]
+    for g in range(n_groups):
+        base = " ".join(words[(g * 7 + i) % 40] + f"g{g}"
+                        for i in range(200))
+        rows += [base, base, base + " tail"]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+        "text": pa.array(rows, pa.string()),
+    }))
+
+
 def test_simhash_pairs_fallback_under_splits(ray_session, tiny_blocks,
                                              forced_fallback):
     """The simhash pair kernel needs a bucket's rows complete in one
     call; the ref-cap escape path must route through the grouped
     fallback (review round 5), not a bare keyed repartition."""
-    docs = _near_dup_docs(n_groups=12)
+    docs = _simhash_dup_docs(n_groups=12)
     got = _simhash_pairs_set(dedup.simhash_pairs_ds(docs, max_hamming=8))
     import ray.data
 
@@ -182,7 +199,7 @@ def test_simhash_pairs_fallback_under_splits(ray_session, tiny_blocks,
                                                          max_hamming=8))
     finally:
         ctx.target_max_block_size = saved
-    assert want, "fixture must produce simhash candidate pairs"
+    assert len(want) == 12, "one identical pair per group expected"
     assert got == want
 
 
