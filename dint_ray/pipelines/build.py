@@ -202,13 +202,14 @@ _PACKED_STATS_SCHEMA = pa.schema([
     ("ctx", pa.list_(pa.uint8())),
     ("size", pa.list_(pa.uint8())),
     ("hash", pa.list_(pa.int64())),
-    # u32 on the wire: freq here is a PER-BLOCK partial count (bounded
-    # by the ints in one map block, far under 2^32; pyarrow's safe
-    # cast in _pack_stats_block raises rather than wraps if that ever
-    # breaks).  Cuts the packed row 19 -> 15 bytes on the stats
-    # exchange; the aggregate side reads it back as uint64 so the
-    # cross-block sums stay 64-bit.
-    ("freq", pa.list_(pa.uint32())),
+    # u64 on the wire, deliberately: an A/B (bench_runs/ab_r05_*.json)
+    # measured the uint32-wire variant +7 s on the 24-CPU
+    # exchange_and_agg (21.1 vs 14.5 s, build 70.9 vs 53.3 s) — the
+    # checked narrowing cast in pack plus the upcast on unpack cost
+    # more CPU than the 4 B/row saves on an intra-host plasma exchange
+    # whose reads are zero-copy.  On a real network the byte cut may
+    # win; revisit with a cast-free emit (count in u32 from the start).
+    ("freq", pa.list_(pa.uint64())),
 ])
 
 
@@ -272,7 +273,7 @@ def _pack_stats_block(batch: pa.Table, *, width: int) -> pa.Table:
     arrays = {"part": pa.array(bucket_vals, pa.uint32())}
     for name, typ in (("stream", pa.uint8()), ("ctx", pa.uint8()),
                       ("size", pa.uint8()), ("hash", pa.int64()),
-                      ("freq", pa.uint32())):
+                      ("freq", pa.uint64())):
         vals = pa.array(cols[name][order], typ)
         arrays[name] = pa.ListArray.from_arrays(pa.array(offsets), vals)
     return pa.table(arrays)
